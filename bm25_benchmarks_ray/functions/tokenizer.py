@@ -1,0 +1,107 @@
+"""Reference-semantics tokenization as pure functions.
+
+Spec (behavioral parity with /root/reference/utils/__init__.py:56-143):
+
+1. lowercase (when ``lower=True``, the reference default)
+2. split with the compiled regex ``(?u)\\b\\w\\w+\\b`` — maximal runs of
+   unicode word characters with length >= 2 (1-char tokens dropped)
+3. drop stopwords (33-word English list, applied BEFORE stemming)
+4. stem each surviving token with the Snowball English stemmer
+   (reference stems the unique vocab once and remaps ids,
+   /root/reference/utils/__init__.py:104-126; we get the same economy
+   from an LRU cache on :func:`porter2.stem`)
+
+The engine keys postings by the *stemmed term string* rather than an
+insertion-ordered integer id: the reference's ids are an artifact of
+single-process iteration order (/root/reference/utils/__init__.py:92-96)
+and never affect scores, only vocab identity.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from collections.abc import Callable, Iterable
+
+from .porter2 import stem as porter2_stem
+
+TOKEN_PATTERN = r"(?u)\b\w\w+\b"
+TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+# The reference's STOPWORDS_EN (/root/reference/utils/__init__.py:10-44).
+STOPWORDS_EN = frozenset(
+    (
+        "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+        "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+        "such", "that", "the", "their", "then", "there", "these", "they",
+        "this", "to", "was", "will", "with",
+    )
+)
+
+
+def resolve_stopwords(stopwords: str | Iterable[str] | None) -> frozenset[str]:
+    """Mirror of the reference's ``_infer_stopwords``
+    (/root/reference/utils/__init__.py:9-54): "en"/"english"/True -> the
+    33-word list; None/"none" -> empty; any iterable -> as given."""
+    if stopwords in ("english", "en", True):
+        return STOPWORDS_EN
+    if stopwords in (None, "none", False):
+        return frozenset()
+    if isinstance(stopwords, str):
+        raise ValueError(f"unrecognized stopwords spec: {stopwords!r}")
+    return frozenset(stopwords)
+
+
+def resolve_stemmer(stemmer: str | Callable | None) -> Callable[[str], str] | None:
+    """"snowball"/"english"/"porter2" -> in-repo Porter2; None/"none" ->
+    no stemming; else any ``str -> str`` callable."""
+    if stemmer in ("snowball", "english", "porter2"):
+        return porter2_stem
+    if stemmer in (None, "none", False):
+        return None
+    if callable(stemmer):
+        return stemmer
+    raise ValueError(f"unrecognized stemmer spec: {stemmer!r}")
+
+
+def tokenize_text(
+    text: str,
+    stopwords: frozenset[str] = STOPWORDS_EN,
+    stemmer: Callable[[str], str] | None = porter2_stem,
+    lower: bool = True,
+) -> list[str]:
+    """Tokenize one text to a list of (stemmed) term strings, preserving
+    token order and multiplicity (query scoring is occurrence-weighted,
+    SURVEY.md §2.6)."""
+    if lower:
+        text = text.lower()
+    tokens = TOKEN_RE.findall(text)
+    if stopwords:
+        tokens = [t for t in tokens if t not in stopwords]
+    if stemmer is not None:
+        tokens = [stemmer(t) for t in tokens]
+    return tokens
+
+
+def term_frequencies(
+    text: str,
+    stopwords: frozenset[str] = STOPWORDS_EN,
+    stemmer: Callable[[str], str] | None = porter2_stem,
+    lower: bool = True,
+) -> tuple[Counter, int]:
+    """Return (Counter term -> tf, doc_len). doc_len counts all kept
+    token occurrences (the reference's per-doc ``len(ids)``)."""
+    tokens = tokenize_text(text, stopwords=stopwords, stemmer=stemmer, lower=lower)
+    return Counter(tokens), len(tokens)
+
+
+def tokenize_texts(
+    texts: Iterable[str],
+    stopwords: frozenset[str] = STOPWORDS_EN,
+    stemmer: Callable[[str], str] | None = porter2_stem,
+    lower: bool = True,
+) -> list[list[str]]:
+    return [
+        tokenize_text(t, stopwords=stopwords, stemmer=stemmer, lower=lower)
+        for t in texts
+    ]

@@ -1,0 +1,62 @@
+"""Varint/delta codec roundtrip tests (SURVEY.md §5 unit plan)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from bm25_benchmarks_ray.functions.codec import (
+    delta_decode_doc_ids,
+    delta_encode_doc_ids,
+    f32_decode,
+    f32_encode,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_empty():
+    assert varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert varint_decode(b"").size == 0
+
+
+def test_varint_known_bytes():
+    # classic LEB128: 0->00, 127->7f, 128->80 01, 300->ac 02
+    assert varint_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert varint_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert varint_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert varint_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+
+
+def test_varint_boundaries():
+    vals = [0, 1, 127, 128, 16383, 16384, 2**21 - 1, 2**21, 2**63, 2**64 - 1]
+    arr = np.array(vals, dtype=np.uint64)
+    out = varint_decode(varint_encode(arr))
+    np.testing.assert_array_equal(out, arr)
+
+
+@settings(max_examples=200)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=200))
+def test_varint_roundtrip_property(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    np.testing.assert_array_equal(varint_decode(varint_encode(arr)), arr)
+
+
+@settings(max_examples=200)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=0, max_size=300, unique=True)
+)
+def test_delta_roundtrip_property(vals):
+    arr = np.array(sorted(vals), dtype=np.int64)
+    np.testing.assert_array_equal(delta_decode_doc_ids(delta_encode_doc_ids(arr)), arr)
+
+
+def test_delta_compresses_dense_lists():
+    dense = np.arange(10_000, dtype=np.int64) + 5_000_000
+    enc = delta_encode_doc_ids(dense)
+    # gap=1 postings: ~1 byte each after the absolute head
+    assert len(enc) < 10_000 + 8
+    np.testing.assert_array_equal(delta_decode_doc_ids(enc), dense)
+
+
+def test_f32_roundtrip():
+    x = np.array([0.0, 1.5, -2.25, 3.4e38], dtype=np.float32)
+    np.testing.assert_array_equal(f32_decode(f32_encode(x)), x)

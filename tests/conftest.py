@@ -1,0 +1,19 @@
+"""Session-scoped Ray fixture: one local Ray per pytest session."""
+
+from __future__ import annotations
+
+import pytest
+import ray
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    yield
+    ray.shutdown()

@@ -1,0 +1,265 @@
+"""Distributed inverted-index build: the engine's flagship pipeline.
+
+Reference lifecycle being re-expressed (SURVEY.md §3.1, steps 2-7 of
+/root/reference/benchmark/on_bm25s.py:41-128): corpus load → flatten →
+tokenize → index.  Here each step is a streaming Ray Data stage:
+
+    read_parquet(text cols only)                      # prune at the read
+      → [transcripts] assign doc_id (broadcast conv offsets)
+      → map_batches(TokenizePostings, actor pool)     # (term,doc_id,tf,dl,salt)
+      → groupby(term[, salt]) → encode / merge runs   # the wide shuffle
+      → write_parquet(segments/group=K)               # resumable partition
+
+The build is partitioned into *groups* (contiguous runs of input files →
+disjoint doc sets).  Groups are the checkpoint/resume unit (manifest
+entry per group with lineage + metrics, state/manifest.py) and the
+query-time scatter unit (every doc's postings live entirely in its
+group's partition, so a query task scoring one group computes exact
+partial scores — no cross-group accumulation needed).
+
+Scale notes (100 TB): each group is an independent sub-pipeline that
+saturates the cluster; its shuffle moves only that group's postings.
+Reduce-task skew is bounded by salting (stages/segments.py).  The conv
+offsets table (one row per conversation) and the query structures are
+the only broadcast state.  Nothing materializes the corpus: stats come
+from parquet row-count metadata + per-segment-row sums.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..config import IndexConfig
+from ..stages.docids import assign_doc_ids, conv_offsets
+from ..stages.segments import (
+    make_encode_run,
+    make_encode_term_group,
+    make_merge_runs,
+)
+from ..stages.tokenize_stage import TokenizePostings
+from ..state.manifest import Manifest
+
+OFFSETS_FILE = "offsets.parquet"
+SEGMENTS_DIR = "segments"
+VOCAB_DIR = "vocab"
+
+# docs per build group; the resume/checkpoint granularity. ~4M docs of
+# transcript turns ≈ a few GB of input per group.
+TARGET_GROUP_DOCS = 4_000_000
+
+
+def _input_files(source: str | list[str]) -> list[str]:
+    if isinstance(source, (list, tuple)):
+        return sorted(source)
+    if os.path.isdir(source):
+        return sorted(glob.glob(os.path.join(source, "*.parquet")))
+    return [source]
+
+
+def _file_rows(files: list[str]) -> list[int]:
+    return [pq.ParquetFile(f).metadata.num_rows for f in files]
+
+
+def _plan_groups(files: list[str], rows: list[int], n_groups: int | None) -> list[list[int]]:
+    """Split file indices into contiguous groups of ~TARGET_GROUP_DOCS."""
+    total = sum(rows)
+    if n_groups is None:
+        n_groups = max(1, min(256, -(-total // TARGET_GROUP_DOCS)))
+    n_groups = min(n_groups, len(files))
+    groups: list[list[int]] = [[] for _ in range(n_groups)]
+    target = total / n_groups
+    acc, g = 0, 0
+    for i, r in enumerate(rows):
+        if g < n_groups - 1 and acc >= target * (g + 1):
+            g += 1
+        groups[g].append(i)
+        acc += r
+    return [grp for grp in groups if grp]
+
+
+def _tokenize_concurrency(cfg: IndexConfig) -> int | tuple[int, int]:
+    """Actor-pool size for the tokenizer: autoscale 1..cluster CPUs
+    unless pinned in config (setup cost is one regex compile + frozenset,
+    so scaling the pool up is cheap; scaling to the node keeps the
+    groupby shuffle fed)."""
+    if cfg.tokenize_concurrency is not None:
+        return cfg.tokenize_concurrency
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return (1, max(2, cpus))
+
+
+def _build_group_segments(
+    ds: rd.Dataset, cfg: IndexConfig, out_dir: str, two_level: bool
+) -> None:
+    """One group's postings → encoded segment rows → parquet (atomic)."""
+    postings = ds.map_batches(
+        TokenizePostings,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.tokenize_batch_size,
+        concurrency=_tokenize_concurrency(cfg),
+    )
+    if two_level:
+        runs = postings.groupby(["term", "salt"]).map_groups(
+            make_encode_run(cfg.block_size), batch_format="pyarrow"
+        )
+        segments = runs.groupby("term").map_groups(
+            make_merge_runs(cfg.block_size), batch_format="pyarrow"
+        )
+    else:
+        segments = postings.groupby("term").map_groups(
+            make_encode_term_group(cfg.block_size), batch_format="pyarrow"
+        )
+    tmp = out_dir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    segments.write_parquet(tmp)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)
+
+
+def _group_metrics(group_dir: str) -> dict:
+    t = pads.dataset(group_dir).to_table(columns=["df", "sum_tf"])
+    return {
+        "n_terms": t.num_rows,
+        "n_postings": int(pa.compute.sum(t.column("df")).as_py() or 0),
+        "sum_tf": int(pa.compute.sum(t.column("sum_tf")).as_py() or 0),
+    }
+
+
+def build_index(
+    source: str | list[str],
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    *,
+    mode: str = "transcripts",   # "transcripts" | "documents"
+    n_groups: int | None = None,
+    fresh: bool = False,
+) -> Manifest:
+    """Build (or resume) the inverted index at ``index_dir``.
+
+    mode="transcripts": input has (conv_id, turn_idx, text); doc_id is
+    assigned as the rank under ORDER BY (conv_id, turn_idx) — the
+    per-row invariant from BASELINE.json.
+    mode="documents": input already carries (doc_id, text).
+    """
+    cfg = cfg or IndexConfig()
+    files = _input_files(source)
+    if not files:
+        raise ValueError(f"no parquet files at {source!r}")
+    rows = _file_rows(files)
+
+    man = None if fresh else Manifest.load(index_dir)
+    if man is not None and man.fingerprint != cfg.fingerprint():
+        man = None  # config changed: rebuild
+    if man is None:
+        if os.path.exists(index_dir):
+            shutil.rmtree(index_dir)
+        man = Manifest(index_dir, config=cfg.to_dict(), fingerprint=cfg.fingerprint())
+    if man.is_complete():
+        return man
+
+    groups = _plan_groups(files, rows, n_groups)
+    man.n_groups = len(groups)
+    man.save()
+
+    # -- stage: conv offsets (transcripts only; tiny table, one pass
+    #    over just (conv_id, turn_idx)) --------------------------------
+    offsets = None
+    if mode == "transcripts":
+        off_path = os.path.join(index_dir, OFFSETS_FILE)
+        if man.stage_done("offsets"):
+            offsets = pq.read_table(off_path).to_pandas()
+        else:
+            cols_ds = rd.read_parquet(files, columns=["conv_id", "turn_idx"])
+            offsets = conv_offsets(cols_ds)
+            tmp = off_path + ".tmp"
+            pq.write_table(pa.Table.from_pandas(offsets, preserve_index=False), tmp)
+            os.replace(tmp, off_path)
+            man.mark_stage("offsets", n_convs=len(offsets))
+
+    # -- stage: per-group segment builds ------------------------------
+    for gid, file_idx in enumerate(groups):
+        if man.group_done(gid):
+            continue
+        t0 = time.perf_counter()
+        g_files = [files[i] for i in file_idx]
+        g_rows = sum(rows[i] for i in file_idx)
+        if mode == "transcripts":
+            ds = rd.read_parquet(g_files, columns=["conv_id", "turn_idx", "text"])
+            ds = assign_doc_ids(ds, offsets)
+        else:
+            ds = rd.read_parquet(g_files, columns=["doc_id", "text"])
+        two_level = g_rows > cfg.salt_range
+        g_dir = os.path.join(index_dir, SEGMENTS_DIR, f"group={gid}")
+        _build_group_segments(ds, cfg, g_dir, two_level)
+        metrics = _group_metrics(g_dir)
+        man.mark_group(
+            gid,
+            input_files=[os.path.basename(f) for f in g_files],
+            n_docs=g_rows,
+            two_level=two_level,
+            wall_s=round(time.perf_counter() - t0, 3),
+            **metrics,
+        )
+
+    # -- stage: finalize (global vocab/df + corpus stats) -------------
+    if not man.stage_done("finalize"):
+        seg_root = os.path.join(index_dir, SEGMENTS_DIR)
+        seg_ds = rd.read_parquet(seg_root, columns=["term", "df"])
+        vocab = seg_ds.groupby("term").aggregate(Sum("df", alias_name="df")).sort("term")
+        v_tmp = os.path.join(index_dir, VOCAB_DIR + ".tmp")
+        if os.path.exists(v_tmp):
+            shutil.rmtree(v_tmp)
+        vocab.write_parquet(v_tmp)
+        v_dir = os.path.join(index_dir, VOCAB_DIR)
+        if os.path.exists(v_dir):
+            shutil.rmtree(v_dir)
+        os.replace(v_tmp, v_dir)
+
+        num_docs = sum(e["n_docs"] for e in man.groups.values())
+        total_len = sum(e["sum_tf"] for e in man.groups.values())
+        man.stats = {
+            "num_docs": int(num_docs),
+            "total_len": int(total_len),
+            "avgdl": (total_len / num_docs) if num_docs else 0.0,
+            "n_terms": pads.dataset(v_dir).count_rows(),
+        }
+        man.mark_stage("finalize")
+    return man
+
+
+def load_offsets(index_dir: str) -> pd.DataFrame | None:
+    p = os.path.join(index_dir, OFFSETS_FILE)
+    if not os.path.exists(p):
+        return None
+    return pq.read_table(p).to_pandas()
+
+
+def docmap_from_offsets(offsets: pd.DataFrame, doc_ids: np.ndarray) -> pd.DataFrame:
+    """Vectorized doc_id → (conv_id, turn_idx) join-back using only the
+    tiny offsets table (base = prefix sum of turns per conv): conv is
+    searchsorted(base), turn = doc_id - base[conv]."""
+    base = offsets["base"].to_numpy(dtype=np.int64)
+    conv = np.searchsorted(base, doc_ids, side="right") - 1
+    return pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "conv_id": offsets["conv_id"].to_numpy()[conv],
+            "turn_idx": (doc_ids - base[conv]).astype(np.int32),
+        }
+    )

@@ -1,0 +1,289 @@
+"""Top-k BM25 retrieval over the segment index.
+
+Doc-partitioned scatter/gather (the scalable design the reference's
+single-process ``model.retrieve`` cannot express,
+/root/reference/benchmark/on_bm25s.py:163-211):
+
+1. Queries are tokenized driver-side (they are tiny; reference does the
+   same with a frozen vocab, on_bm25s.py:89-112) and their global df
+   comes from the vocab table via a term-pruned parquet read.
+2. One broadcast object (``ray.put``) carries every query's term/idf
+   structure to all scoring tasks — read zero-copy per task, never
+   re-shipped per batch.
+3. A ``map_batches`` task per index *group* scores all queries against
+   its disjoint doc range: segment rows are read with a
+   ``term isin(query_terms)`` parquet filter (row-group pruning; only
+   query-term postings are ever decoded), contributions are accumulated
+   vectorized (np.bincount over unique candidate docs), and the task
+   emits its local top-k per query — k rows, not a score vector.
+4. ``groupby(qid)`` merges the per-group partials (Q × k × n_groups tiny
+   rows — the only query-time shuffle) into the final ranking with
+   (score desc, doc_id asc) tie normalization (the reference's
+   argpartition tie order is unspecified, on_rank_bm25.py:32).
+
+Rank-identicality corner: the reference ranks a dense score vector over
+*all* docs, so when fewer than k docs match, the tail is zero/shift-
+scored docs in doc_id order.  With dense doc_id spaces (transcripts
+numbering; the test documents table) the merge step reproduces that by
+padding from the lowest unmatched doc_ids at score == query_constant.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import ray
+import ray.data as rd
+
+from ..config import IndexConfig
+from ..functions.bm25 import BM25Params, idf as idf_fn, nonoccurrence_shape, tf_shape
+from ..functions.tokenizer import resolve_stemmer, resolve_stopwords, tokenize_text
+from ..state.manifest import Manifest
+from .index_build import SEGMENTS_DIR, VOCAB_DIR, docmap_from_offsets, load_offsets
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("qid", pa.string()),
+        ("doc_id", pa.int64()),
+        ("rank", pa.int32()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+def tokenize_queries(
+    queries: list[tuple[str, str]], cfg: IndexConfig
+) -> list[tuple[str, Counter]]:
+    sw = resolve_stopwords(cfg.stopwords)
+    st = resolve_stemmer(cfg.stemmer)
+    return [
+        (qid, Counter(tokenize_text(text, stopwords=sw, stemmer=st, lower=cfg.lower)))
+        for qid, text in queries
+    ]
+
+
+def _query_plan(
+    tokenized: list[tuple[str, Counter]],
+    index_dir: str,
+    params: BM25Params,
+    num_docs: int,
+) -> dict:
+    """Driver-side query structure: per-term (query, weight·idf) fanout +
+    per-query constants.  df lookups are a term-pruned vocab read."""
+    terms = sorted({t for _, c in tokenized for t in c})
+    df_map: dict[str, int] = {}
+    if terms:
+        v = pads.dataset(os.path.join(index_dir, VOCAB_DIR)).to_table(
+            columns=["term", "df"], filter=pc.field("term").isin(terms)
+        )
+        df_map = dict(zip(v.column("term").to_pylist(), v.column("df").to_pylist()))
+
+    s0 = nonoccurrence_shape(params)
+    qids = [qid for qid, _ in tokenized]
+    qconst = np.zeros(len(tokenized), dtype=np.float64)
+    term_fanout: dict[str, list[tuple[int, float]]] = {}
+    for qi, (_, counts) in enumerate(tokenized):
+        for term, m in counts.items():
+            df = df_map.get(term)
+            if df is None:  # unseen token drops out (frozen vocab, §2.2 M7)
+                continue
+            t_idf = float(idf_fn(params, df, num_docs))
+            term_fanout.setdefault(term, []).append((qi, m * t_idf))
+            qconst[qi] += m * t_idf * s0
+    return {
+        "qids": qids,
+        "qconst": qconst,
+        "term_fanout": term_fanout,
+        "terms": sorted(term_fanout),
+    }
+
+
+class GroupScorer:
+    """Scores all queries against one index group per input row.
+
+    Stateful actor: broadcast query plan fetched once in __init__ (not
+    per batch) — the ray.put/zero-copy-read pattern for small sides.
+    """
+
+    def __init__(self, plan_ref, params: BM25Params, avgdl: float, k: int):
+        self.plan = ray.get(plan_ref)
+        self.params = params
+        self.avgdl = avgdl
+        self.k = k
+        self.s0 = nonoccurrence_shape(params)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.segments import decode_postings
+
+        out_qi: list[np.ndarray] = []
+        out_doc: list[np.ndarray] = []
+        out_score: list[np.ndarray] = []
+        plan = self.plan
+        n_q = len(plan["qids"])
+        for group_dir in batch.column("group_dir").to_pylist():
+            if not plan["terms"]:
+                continue
+            seg = pads.dataset(group_dir).to_table(
+                filter=pc.field("term").isin(plan["terms"])
+            )
+            # per-query candidate accumulation lists
+            docs_by_q: list[list[np.ndarray]] = [[] for _ in range(n_q)]
+            vals_by_q: list[list[np.ndarray]] = [[] for _ in range(n_q)]
+            for row in seg.to_pylist():
+                doc, tf, dl = decode_postings(row)
+                base = tf_shape(self.params, tf, dl, self.avgdl) - self.s0
+                for qi, w_idf in plan["term_fanout"][row["term"]]:
+                    docs_by_q[qi].append(doc)
+                    vals_by_q[qi].append(w_idf * base)
+            for qi in range(n_q):
+                if not docs_by_q[qi]:
+                    continue
+                doc = np.concatenate(docs_by_q[qi])
+                val = np.concatenate(vals_by_q[qi])
+                uniq, inv = np.unique(doc, return_inverse=True)
+                sums = np.bincount(inv, weights=val) + plan["qconst"][qi]
+                if uniq.size > self.k:
+                    part = np.argpartition(-sums, self.k - 1)[: self.k]
+                else:
+                    part = np.arange(uniq.size)
+                out_qi.append(np.full(part.size, qi, dtype=np.int32))
+                out_doc.append(uniq[part])
+                out_score.append(sums[part])
+        if not out_qi:
+            return pa.table(
+                {
+                    "qi": pa.array([], type=pa.int32()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "qi": pa.array(np.concatenate(out_qi)),
+                "doc_id": pa.array(np.concatenate(out_doc)),
+                "score": pa.array(np.concatenate(out_score)),
+            }
+        )
+
+
+def make_merge_topk(plan_ref, k: int, num_docs: int, dense_ids: bool):
+    """groupby(qi) merge of disjoint per-group partials → final top-k,
+    with dense-doc_id zero-match padding (module docstring)."""
+
+    def merge_topk(tbl: pa.Table) -> pa.Table:
+        plan = ray.get(plan_ref)
+        qi = int(tbl.column("qi")[0].as_py())
+        doc = tbl.column("doc_id").to_numpy()
+        score = tbl.column("score").to_numpy()
+        order = np.lexsort((doc, -score))[:k]
+        doc, score = doc[order], score[order]
+        if doc.size < k and dense_ids and num_docs > doc.size:
+            have = set(doc.tolist())
+            pad = [d for d in range(min(num_docs, k + len(have))) if d not in have]
+            pad = pad[: k - doc.size]
+            doc = np.concatenate([doc, np.array(pad, dtype=np.int64)])
+            score = np.concatenate(
+                [score, np.full(len(pad), plan["qconst"][qi], dtype=np.float64)]
+            )
+        qid = plan["qids"][qi]
+        return pa.table(
+            {
+                "qid": pa.array([qid] * doc.size, type=pa.string()),
+                "doc_id": pa.array(doc, type=pa.int64()),
+                "rank": pa.array(np.arange(1, doc.size + 1, dtype=np.int32)),
+                "score": pa.array(score, type=pa.float64()),
+            },
+            schema=RESULT_SCHEMA,
+        )
+
+    return merge_topk
+
+
+def _empty_query_results(plan: dict, k: int, num_docs: int, dense_ids: bool) -> pa.Table:
+    """Final rows for queries with zero scored candidates anywhere (all
+    tokens unseen/stopworded): dense-id padding at score 0."""
+    qids, docs, ranks, scores = [], [], [], []
+    if dense_ids:
+        pad = list(range(min(k, num_docs)))
+        for qi, qid in enumerate(plan["qids"]):
+            if plan["term_fanout"] and any(
+                qi == i for fl in plan["term_fanout"].values() for i, _ in fl
+            ):
+                continue
+            qids += [qid] * len(pad)
+            docs += pad
+            ranks += list(range(1, len(pad) + 1))
+            scores += [float(plan["qconst"][qi])] * len(pad)
+    return pa.table(
+        {
+            "qid": pa.array(qids, type=pa.string()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "score": pa.array(scores, type=pa.float64()),
+        },
+        schema=RESULT_SCHEMA,
+    )
+
+
+def search(
+    index_dir: str,
+    queries: list[tuple[str, str]],
+    params: BM25Params | None = None,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    join_back: bool = True,
+    dense_ids: bool = True,
+) -> rd.Dataset:
+    """Retrieve top-k (qid, doc_id, rank, score) for every query."""
+    params = params or BM25Params()
+    man = Manifest.load(index_dir)
+    if man is None or not man.is_complete():
+        raise ValueError(f"no complete index at {index_dir}")
+    cfg = cfg or IndexConfig(**{
+        k_: v for k_, v in man.config.items()
+        if k_ in IndexConfig.__dataclass_fields__
+    })
+    num_docs = man.stats["num_docs"]
+    avgdl = man.stats["avgdl"]
+
+    tokenized = tokenize_queries(queries, cfg)
+    plan = _query_plan(tokenized, index_dir, params, num_docs)
+    plan_ref = ray.put(plan)
+
+    group_dirs = [
+        {"group_dir": os.path.join(index_dir, SEGMENTS_DIR, f"group={g}")}
+        for g in man.done_groups()
+    ]
+    partials = rd.from_items(group_dirs).map_batches(
+        GroupScorer,
+        fn_constructor_args=(plan_ref, params, avgdl, k),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=(1, max(1, min(len(group_dirs), 32))),
+    )
+    merged = partials.groupby("qi").map_groups(
+        make_merge_topk(plan_ref, k, num_docs, dense_ids), batch_format="pyarrow"
+    )
+    extra = _empty_query_results(plan, k, num_docs, dense_ids)
+    if extra.num_rows:
+        merged = merged.union(rd.from_arrow(extra))
+
+    offsets = load_offsets(index_dir) if join_back else None
+    if offsets is not None:
+        off_ref = ray.put(offsets)
+
+        def add_conv(batch: pa.Table) -> pa.Table:
+            off = ray.get(off_ref)
+            dm = docmap_from_offsets(off, batch.column("doc_id").to_numpy())
+            return batch.append_column(
+                "conv_id", pa.array(dm["conv_id"], type=pa.string())
+            ).append_column("turn_idx", pa.array(dm["turn_idx"], type=pa.int32()))
+
+        merged = merged.map_batches(add_conv, batch_format="pyarrow")
+    return merged

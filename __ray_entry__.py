@@ -21,7 +21,9 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from bm25_benchmarks_ray.driver_api import flagship_entry
+
+    return flagship_entry()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -31,7 +33,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     returns a Dataset / pandas DataFrame / pyarrow Table. Name every
     computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from bm25_benchmarks_ray.driver_api import build_queries
+
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -41,4 +45,6 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    return {}
+    from bm25_benchmarks_ray.driver_api import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

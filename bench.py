@@ -1,0 +1,168 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Default single-run mode prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {phase: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling runs the same job in two fresh processes (RAY_GRAFT_CPUS=8
+and =32) on the same input and reports both throughputs plus scaling
+efficiency = (tp32/tp8)/(32/8) — the sandbox evidence for the
+two-cluster-size criterion (BASELINE.md).
+
+Phases (mirroring the reference's timed lifecycle, SURVEY.md §3.1):
+  index      build the inverted index over synthetic transcripts at the
+             sf matching $GRAFT_SF_DIR   → turns/sec
+  query      batch top-10 retrieval, full query set → qps
+  query_lat  per-query latency sample    → p50/p99 sec
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+SF_DIR_DEFAULT = "/root/testdata/sf0.1"
+BENCH_ROOT = "/tmp/bm25rd/bench"
+
+
+def parse_sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.1
+
+
+def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int = 30) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    try:
+        from bm25_benchmarks_ray.config import IndexConfig
+        from bm25_benchmarks_ray.functions.bm25 import BM25Params
+        from bm25_benchmarks_ray.pipelines.index_build import build_index
+        from bm25_benchmarks_ray.pipelines.query import search
+        from bm25_benchmarks_ray.sources.transcripts import (
+            sf_to_n_turns,
+            synthesize_queries,
+            transcripts_dir,
+        )
+
+        sf = float(os.environ.get("GRAFT_BENCH_SF") or parse_sf(sf_dir))
+        n_queries = int(os.environ.get("GRAFT_BENCH_NQ") or n_queries)
+        corpus = transcripts_dir(sf)  # deterministic synthetic transcripts
+        n_turns = sf_to_n_turns(sf)
+        idx = os.path.join(BENCH_ROOT, f"idx_sf{sf}_cpus{num_cpus}")
+        shutil.rmtree(idx, ignore_errors=True)
+
+        timings: dict[str, float] = {}
+        cfg = IndexConfig()
+        t0 = time.perf_counter()
+        build_index(corpus, idx, cfg, mode="transcripts", fresh=True)
+        timings["index"] = time.perf_counter() - t0
+
+        queries = synthesize_queries(n_queries, seed=17)
+        params = BM25Params()
+        # warm-up: pay worker-process import/JIT cost outside the timed
+        # region, mirroring the reference's scorer warm-up
+        # (/root/reference/benchmark/on_bm25s.py:144-154,175-177)
+        search(idx, queries, params=params, k=10).count()
+        t0 = time.perf_counter()
+        n_res = search(idx, queries, params=params, k=10).count()
+        timings["query"] = time.perf_counter() - t0
+
+        lats = []
+        for q in queries[:lat_sample]:
+            t0 = time.perf_counter()
+            search(idx, [q], params=params, k=10).count()
+            lats.append(time.perf_counter() - t0)
+        lats = np.array(lats)
+
+        total = timings["index"] + timings["query"]
+        return {
+            "metric": "transcripts index build + BM25 top-10 batch query",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": sf,
+            "num_cpus": num_cpus,
+            "n_turns": n_turns,
+            "n_queries": n_queries,
+            "n_result_rows": int(n_res),
+            "index_turns_per_s": round(n_turns / timings["index"], 1),
+            "query_qps": round(n_queries / timings["query"], 1),
+            "query_p50_s": round(float(np.percentile(lats, 50)), 4),
+            "query_p99_s": round(float(np.percentile(lats, 99)), 4),
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32,
+                scaling_sf: float = 1.0) -> dict:
+    """Fresh process per parallelism level; same input.
+
+    Uses a corpus ~10x the default bench sf: at sf0.1 (120k turns) the
+    whole job is a few core-seconds of real work plus fixed Ray job
+    overhead, so N-vs-4N throughput is meaningless there.  The 1.2M-turn
+    corpus (~36M postings) gives each parallelism level real work to
+    chew while staying < 2 min wall.
+    """
+    results = {}
+    for cpus in (cpus_lo, cpus_hi):
+        env = dict(os.environ, GRAFT_SF_DIR=sf_dir, RAY_GRAFT_CPUS=str(cpus),
+                   GRAFT_BENCH_SF=str(scaling_sf), GRAFT_BENCH_NQ="500")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    lo, hi = results[cpus_lo], results[cpus_hi]
+    ratio = cpus_hi / cpus_lo
+    eff_index = (hi["index_turns_per_s"] / lo["index_turns_per_s"]) / ratio
+    eff_query = (hi["query_qps"] / lo["query_qps"]) / ratio
+    return {
+        "metric": f"scaling {cpus_lo}->{cpus_hi} cpus",
+        "value": round(lo["value"] + hi["value"], 3),
+        "unit": "sec",
+        "queries": {
+            f"index_{cpus_lo}": lo["queries"]["index"],
+            f"index_{cpus_hi}": hi["queries"]["index"],
+            f"query_{cpus_lo}": lo["queries"]["query"],
+            f"query_{cpus_hi}": hi["queries"]["query"],
+        },
+        "sf": lo["sf"],
+        "num_cpus": cpus_hi,
+        "index_turns_per_s": {str(cpus_lo): lo["index_turns_per_s"],
+                              str(cpus_hi): hi["index_turns_per_s"]},
+        "query_qps": {str(cpus_lo): lo["query_qps"], str(cpus_hi): hi["query_qps"]},
+        "scaling_efficiency_index": round(eff_index, 3),
+        "scaling_efficiency_query": round(eff_query, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cpus-lo", type=int, default=8)
+    ap.add_argument("--cpus-hi", type=int, default=32)
+    ap.add_argument("--scaling-sf", type=float, default=1.0)
+    args = ap.parse_args()
+    sf_dir = os.environ.get("GRAFT_SF_DIR", SF_DIR_DEFAULT)
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if args.scaling:
+        print(json.dumps(run_scaling(sf_dir, args.cpus_lo, args.cpus_hi,
+                                     args.scaling_sf)))
+    else:
+        print(json.dumps(run_bench(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

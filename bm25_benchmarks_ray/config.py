@@ -35,7 +35,7 @@ class IndexConfig:
     # salt_range doubles as the doc-range sharding unit of the index:
     # a hot term's postings are split across salts so no single reduce
     # task sees more than salt_range postings for one term.
-    salt_range: int = 65536
+    salt_range: int = 262144
     # postings per scoring block inside a segment row (block-max unit)
     block_size: int = 128
 
@@ -58,7 +58,7 @@ class IndexConfig:
             "lower": self.lower,
             "salt_range": self.salt_range,
             "block_size": self.block_size,
-            "format": 2,
+            "format": 3,
         }
         return hashlib.sha256(json.dumps(sem, sort_keys=True).encode()).hexdigest()[:16]
 

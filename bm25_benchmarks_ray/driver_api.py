@@ -173,6 +173,154 @@ def q_bm25_topk(sf_dir: str, method: str, k: int = 10):
 
 
 # ---------------------------------------------------------------------
+# training-data extensions: dedup, similarity, text analysis
+# ---------------------------------------------------------------------
+
+def _docs_ds(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+
+def q_dedup_exact(sf_dir: str):
+    from .pipelines.dedup import exact_dedup
+
+    return exact_dedup(_docs_ds(sf_dir))
+
+
+def q_ngram_jaccard(sf_dir: str, threshold: float = 0.8):
+    from .pipelines.dedup import ngram_jaccard_pairs
+
+    ds = ngram_jaccard_pairs(_docs_ds(sf_dir), threshold=threshold)
+    df = ds.to_pandas()
+    df["jaccard"] = df["jaccard"].round(6)
+    df = df.sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "a": pa.array(df["a"], type=pa.int64()),
+            "b": pa.array(df["b"], type=pa.int64()),
+            "jaccard": pa.array(df["jaccard"], type=pa.float64()),
+        }
+    )
+
+
+def q_minhash_lsh(sf_dir: str):
+    from .pipelines.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.8)
+
+
+def q_simhash(sf_dir: str):
+    from .pipelines.dedup import simhash_pairs
+
+    return simhash_pairs(_docs_ds(sf_dir), hamming_max=3)
+
+
+def _query_vecs(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    df = t.to_pandas().sort_values("vec_id").head(n)
+    return np.asarray(list(df["embedding"]), dtype=np.float64)
+
+
+def q_embed_cosine_topk(sf_dir: str):
+    import ray.data as rd
+
+    from .pipelines.similarity import cosine_topk
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return cosine_topk(ds, _query_vecs(sf_dir), k=10)
+
+
+def q_embed_cosine_pairs(sf_dir: str, threshold: float = 0.4):
+    import ray.data as rd
+
+    from .pipelines.similarity import cosine_pairs
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return cosine_pairs(ds, threshold=threshold)
+
+
+def q_embed_ivf_topk(sf_dir: str):
+    import ray.data as rd
+
+    from .pipelines.similarity import ivf_topk
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return ivf_topk(ds, _query_vecs(sf_dir), k=10)
+
+
+def q_lang_id(sf_dir: str):
+    from .pipelines.text_analysis import language_id
+
+    return language_id(_docs_ds(sf_dir))
+
+
+def q_quality_score(sf_dir: str):
+    from .pipelines.text_analysis import quality_score
+
+    return quality_score(_docs_ds(sf_dir))
+
+
+def q_token_count(sf_dir: str):
+    from .pipelines.text_analysis import token_count
+
+    return token_count(_docs_ds(sf_dir))
+
+
+def q_fingerprint(sf_dir: str):
+    from .pipelines.text_analysis import fingerprint
+
+    return fingerprint(_docs_ds(sf_dir))
+
+
+def q_corpus_union(sf_dir: str):
+    """Disjoint multi-corpus union with key prefixing — the
+    merge_cqa_dupstack analogue (/root/reference/utils/beir.py:38-112):
+    same corpus read twice under 'a_'/'b_' prefixes."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    def prefix(tag):
+        def f(b: pa.Table) -> pa.Table:
+            uid = pc_.binary_join_element_wise(
+                pa.array([tag] * b.num_rows, type=pa.string()),
+                pc_.cast(b.column("doc_id"), pa.string()),
+                "_",
+            )
+            return pa.table({"uid": uid, "text": b.column("text")})
+
+        return f
+
+    a = _docs_ds(sf_dir).map_batches(prefix("a"), batch_format="pyarrow")
+    b = _docs_ds(sf_dir).map_batches(prefix("b"), batch_format="pyarrow")
+    return a.union(b)
+
+
+def q_doc_text_projection(sf_dir: str):
+    """The reference's title+' '+text flatten (M1,
+    /root/reference/benchmark/on_bm25s.py:54-59) — here source||' '||text
+    via the vectorized Arrow join kernel."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    ds = rd.read_parquet(_docs_path(sf_dir), columns=["doc_id", "source", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        full = pc_.binary_join_element_wise(b.column("source"), b.column("text"), " ")
+        return pa.table({"doc_id": b.column("doc_id"), "full_text": full})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------
 # SQL oracle generation
 # ---------------------------------------------------------------------
 
@@ -280,6 +428,123 @@ SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {k}
 """
 
 
+DEDUP_EXACT_SQL = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+NGRAM_JACCARD_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w\w+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+              ELSE [] END AS s
+  FROM tok
+),
+e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM e GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS i
+  FROM e x JOIN e y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+"""
+
+EMBED_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS qi, embedding FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.qi, e.vec_id,
+         round(list_cosine_similarity(q.embedding, e.embedding), 6) AS score
+  FROM q CROSS JOIN embeddings e
+),
+r AS (
+  SELECT qi, vec_id, score,
+         row_number() OVER (PARTITION BY qi ORDER BY score DESC, vec_id) AS rank
+  FROM s
+)
+SELECT qi, vec_id, rank, score FROM r WHERE rank <= 10
+"""
+
+EMBED_PAIRS_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+LANG_ID_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w\\w+')) AS term
+  FROM documents
+),
+agg AS (
+  SELECT doc_id,
+         count(*)::DOUBLE AS tot,
+         count(*) FILTER (term IN ({_STOPWORDS_SQL}))::DOUBLE AS sw
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(coalesce(a.sw / a.tot, 0.0), 6) AS stopword_ratio,
+       CASE WHEN coalesce(a.sw / a.tot, 0.0) >= 0.08 THEN 'en' ELSE 'und' END AS lang
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\\w\\w+'))::BIGINT AS n_tokens,
+         length(text)::BIGINT AS n_chars,
+         CASE WHEN length(text) > 0
+              THEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
+              ELSE 0.0 END AS punct,
+         regexp_extract_all(lower(text), '\\w\\w+') AS toks
+  FROM documents
+),
+swr_t AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> t IN ({_STOPWORDS_SQL}))) * 1.0 / len(toks)
+              ELSE 0.0 END AS swr
+  FROM base
+)
+SELECT b.doc_id, b.n_tokens, b.n_chars,
+       round(b.punct, 6) AS punct_ratio,
+       round(s.swr, 6) AS stopword_ratio,
+       round(0.5 * least(b.n_tokens / 20.0, 1.0)
+           + 0.3 * greatest(1.0 - 5.0 * b.punct, 0.0)
+           + 0.2 * least(10.0 * s.swr, 1.0), 6) AS quality
+FROM base b JOIN swr_t s ON s.doc_id = b.doc_id
+"""
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(lower(text), '\w\w+'))::BIGINT AS re_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^\sA-Za-z0-9]'))::BIGINT AS bpe_tokens
+FROM documents
+"""
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(array_to_string(regexp_extract_all(lower(text), '\w\w+'), ' ')) AS fp
+FROM documents
+"""
+
+CORPUS_UNION_SQL = """
+SELECT 'a_' || doc_id::VARCHAR AS uid, text FROM documents
+UNION ALL
+SELECT 'b_' || doc_id::VARCHAR AS uid, text FROM documents
+"""
+
+DOC_TEXT_PROJECTION_SQL = (
+    "SELECT doc_id, source || ' ' || text AS full_text FROM documents"
+)
+
 ORACLE_SQL: dict[str, str] = {
     "tokenize_tf": f"WITH {TOKENS_CTE} SELECT doc_id, term, tf FROM tf",
     "doc_lengths": f"WITH {TOKENS_CTE} SELECT doc_id, dl FROM dl",
@@ -290,6 +555,19 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk_robertson": bm25_topk_sql("robertson"),
     "bm25_topk_bm25l": bm25_topk_sql("bm25l"),
     "bm25_topk_bm25plus": bm25_topk_sql("bm25+"),
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+    "embed_cosine_topk": EMBED_TOPK_SQL,
+    "embed_cosine_pairs": EMBED_PAIRS_SQL,
+    "lang_id": LANG_ID_SQL,
+    "quality_score": QUALITY_SQL,
+    "token_count": TOKEN_COUNT_SQL,
+    "fingerprint": FINGERPRINT_SQL,
+    "corpus_union": CORPUS_UNION_SQL,
+    "doc_text_projection": DOC_TEXT_PROJECTION_SQL,
+    # minhash_lsh_pairs / simhash_pairs / embed_ivf_topk: approximate /
+    # hash-structured — not SQL-expressible; driver records rows-only,
+    # pytest verifies against planted duplicates (tests/test_dedup.py).
 }
 
 
@@ -308,6 +586,23 @@ def build_queries() -> dict:
         ("bm25_topk_bm25plus", "bm25+"),
     ]:
         q[name] = (lambda m: lambda sf_dir: q_bm25_topk(sf_dir, m))(method)
+    q.update(
+        {
+            "dedup_exact": q_dedup_exact,
+            "ngram_jaccard_pairs": q_ngram_jaccard,
+            "minhash_lsh_pairs": q_minhash_lsh,
+            "simhash_pairs": q_simhash,
+            "embed_cosine_topk": q_embed_cosine_topk,
+            "embed_cosine_pairs": q_embed_cosine_pairs,
+            "embed_ivf_topk": q_embed_ivf_topk,
+            "lang_id": q_lang_id,
+            "quality_score": q_quality_score,
+            "token_count": q_token_count,
+            "fingerprint": q_fingerprint,
+            "corpus_union": q_corpus_union,
+            "doc_text_projection": q_doc_text_projection,
+        }
+    )
     return q
 
 

@@ -19,14 +19,36 @@ import numpy as np
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
 
 
+def varint_nbytes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length of each value."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += (v >= t).astype(np.int64)
+    return nbytes
+
+
+def varint_encode_with_offsets(
+    values: np.ndarray, block_size: int
+) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode plus the byte offset of every block_size-th value —
+    the random-access skip table that lets a reader decode only the
+    blocks covering a doc range (uint32 offsets, one per block)."""
+    buf = varint_encode(values)
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return buf, np.empty(0, dtype=np.uint32)
+    ends = np.cumsum(varint_nbytes(v))
+    starts = np.concatenate(([0], ends[:-1]))
+    return buf, starts[::block_size].astype(np.uint32)
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a uint64 array."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    nbytes = np.ones(v.size, dtype=np.int64)
-    for t in _THRESHOLDS:
-        nbytes += (v >= t).astype(np.int64)
+    nbytes = varint_nbytes(v)
     ends = np.cumsum(nbytes)
     out = np.empty(int(ends[-1]), dtype=np.uint8)
     starts = ends - nbytes

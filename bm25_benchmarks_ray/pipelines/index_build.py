@@ -41,7 +41,7 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from ..config import IndexConfig
-from ..stages.docids import assign_doc_ids, conv_offsets
+from ..stages.docids import assign_doc_ids, conv_offsets, conv_offsets_local
 from ..stages.segments import (
     make_encode_run,
     make_encode_term_group,
@@ -57,6 +57,11 @@ VOCAB_DIR = "vocab"
 # docs per build group; the resume/checkpoint granularity. ~4M docs of
 # transcript turns ≈ a few GB of input per group.
 TARGET_GROUP_DOCS = 4_000_000
+
+# below this many input rows, tiny metadata stages (conv offsets, vocab)
+# run driver-side with pyarrow/pandas instead of paying a Ray job's fixed
+# cost; above it, the distributed paths take over (the 100 TB path).
+DRIVER_SIDE_ROWS = 20_000_000
 
 
 def _input_files(source: str | list[str]) -> list[str]:
@@ -185,8 +190,11 @@ def build_index(
         if man.stage_done("offsets"):
             offsets = pq.read_table(off_path).to_pandas()
         else:
-            cols_ds = rd.read_parquet(files, columns=["conv_id", "turn_idx"])
-            offsets = conv_offsets(cols_ds)
+            if sum(rows) <= DRIVER_SIDE_ROWS:
+                offsets = conv_offsets_local(files)
+            else:
+                cols_ds = rd.read_parquet(files, columns=["conv_id", "turn_idx"])
+                offsets = conv_offsets(cols_ds)
             tmp = off_path + ".tmp"
             pq.write_table(pa.Table.from_pandas(offsets, preserve_index=False), tmp)
             os.replace(tmp, off_path)
@@ -220,12 +228,28 @@ def build_index(
     # -- stage: finalize (global vocab/df + corpus stats) -------------
     if not man.stage_done("finalize"):
         seg_root = os.path.join(index_dir, SEGMENTS_DIR)
-        seg_ds = rd.read_parquet(seg_root, columns=["term", "df"])
-        vocab = seg_ds.groupby("term").aggregate(Sum("df", alias_name="df")).sort("term")
+        n_seg_rows = sum(e.get("n_terms", 0) for e in man.groups.values())
         v_tmp = os.path.join(index_dir, VOCAB_DIR + ".tmp")
         if os.path.exists(v_tmp):
             shutil.rmtree(v_tmp)
-        vocab.write_parquet(v_tmp)
+        if n_seg_rows <= DRIVER_SIDE_ROWS:
+            # driver-side: segment (term, df) rows are one per term per
+            # group — tiny relative to the corpus
+            t = pads.dataset(seg_root).to_table(columns=["term", "df"])
+            v = (
+                t.to_pandas().groupby("term", sort=True)["df"].sum().reset_index()
+            )
+            os.makedirs(v_tmp, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(v, preserve_index=False),
+                os.path.join(v_tmp, "vocab-0.parquet"),
+            )
+        else:
+            seg_ds = rd.read_parquet(seg_root, columns=["term", "df"])
+            vocab = (
+                seg_ds.groupby("term").aggregate(Sum("df", alias_name="df")).sort("term")
+            )
+            vocab.write_parquet(v_tmp)
         v_dir = os.path.join(index_dir, VOCAB_DIR)
         if os.path.exists(v_dir):
             shutil.rmtree(v_dir)

@@ -104,40 +104,57 @@ def _query_plan(
     }
 
 
-class GroupScorer:
-    """Scores all queries against one index group per input row.
+_EMPTY_PARTIALS = pa.table(
+    {
+        "qi": pa.array([], type=pa.int32()),
+        "doc_id": pa.array([], type=pa.int64()),
+        "score": pa.array([], type=pa.float64()),
+    }
+)
 
-    Stateful actor: broadcast query plan fetched once in __init__ (not
-    per batch) — the ray.put/zero-copy-read pattern for small sides.
+
+def make_score_slice(plan_ref, params: BM25Params, avgdl: float, k: int, block_size: int):
+    """Task fn scoring all queries against one (group, doc-range) slice.
+
+    A build group can be far wider than one task should chew, so the
+    scatter unit is a doc-id slice of a group: every task reads the
+    group's query-term segment rows (term-pruned parquet read), decodes,
+    restricts each posting list to [lo, hi) by binary search, and
+    accumulates exact scores for its docs.  Doc-sliced tasks keep the
+    partial-top-k exact (a doc's whole score is computed where it
+    lives), and parallelism is n_groups × n_slices regardless of how
+    many groups the build produced.  The duplicated decode across
+    slices of one group is vectorized numpy — cheap relative to the
+    accumulation it parallelizes; search() auto-sizes slices to 1 when
+    there are already more groups than cluster slots.
     """
+    s0 = nonoccurrence_shape(params)
 
-    def __init__(self, plan_ref, params: BM25Params, avgdl: float, k: int):
-        self.plan = ray.get(plan_ref)
-        self.params = params
-        self.avgdl = avgdl
-        self.k = k
-        self.s0 = nonoccurrence_shape(params)
+    def score_slice(batch: pa.Table) -> pa.Table:
+        from ..stages.segments import decode_segment
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..stages.segments import decode_postings
-
+        plan = ray.get(plan_ref)
         out_qi: list[np.ndarray] = []
         out_doc: list[np.ndarray] = []
         out_score: list[np.ndarray] = []
-        plan = self.plan
         n_q = len(plan["qids"])
-        for group_dir in batch.column("group_dir").to_pylist():
+        for group_dir, lo, hi in zip(
+            batch.column("group_dir").to_pylist(),
+            batch.column("lo").to_pylist(),
+            batch.column("hi").to_pylist(),
+        ):
             if not plan["terms"]:
                 continue
             seg = pads.dataset(group_dir).to_table(
                 filter=pc.field("term").isin(plan["terms"])
             )
-            # per-query candidate accumulation lists
             docs_by_q: list[list[np.ndarray]] = [[] for _ in range(n_q)]
             vals_by_q: list[list[np.ndarray]] = [[] for _ in range(n_q)]
             for row in seg.to_pylist():
-                doc, tf, dl = decode_postings(row)
-                base = tf_shape(self.params, tf, dl, self.avgdl) - self.s0
+                doc, tf, dl = decode_segment(row, block_size, lo, hi)
+                if doc.size == 0:
+                    continue
+                base = tf_shape(params, tf, dl, avgdl) - s0
                 for qi, w_idf in plan["term_fanout"][row["term"]]:
                     docs_by_q[qi].append(doc)
                     vals_by_q[qi].append(w_idf * base)
@@ -148,21 +165,15 @@ class GroupScorer:
                 val = np.concatenate(vals_by_q[qi])
                 uniq, inv = np.unique(doc, return_inverse=True)
                 sums = np.bincount(inv, weights=val) + plan["qconst"][qi]
-                if uniq.size > self.k:
-                    part = np.argpartition(-sums, self.k - 1)[: self.k]
+                if uniq.size > k:
+                    part = np.argpartition(-sums, k - 1)[:k]
                 else:
                     part = np.arange(uniq.size)
                 out_qi.append(np.full(part.size, qi, dtype=np.int32))
                 out_doc.append(uniq[part])
                 out_score.append(sums[part])
         if not out_qi:
-            return pa.table(
-                {
-                    "qi": pa.array([], type=pa.int32()),
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "score": pa.array([], type=pa.float64()),
-                }
-            )
+            return _EMPTY_PARTIALS
         return pa.table(
             {
                 "qi": pa.array(np.concatenate(out_qi)),
@@ -170,6 +181,8 @@ class GroupScorer:
                 "score": pa.array(np.concatenate(out_score)),
             }
         )
+
+    return score_slice
 
 
 def make_merge_topk(plan_ref, k: int, num_docs: int, dense_ids: bool):
@@ -203,6 +216,76 @@ def make_merge_topk(plan_ref, k: int, num_docs: int, dense_ids: bool):
         )
 
     return merge_topk
+
+
+def _collect_arrow(ds: rd.Dataset) -> pa.Table:
+    """Materialize a (small) Dataset to one Arrow table on the driver."""
+    tables = [
+        b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    return pa.concat_tables(tables) if tables else _EMPTY_PARTIALS
+
+
+def _merge_partials_local(
+    tbl: pa.Table, plan: dict, k: int, num_docs: int, dense_ids: bool
+) -> pa.Table:
+    """Vectorized driver-side merge: per-group partials hold disjoint
+    docs, so the merge is a lexsort + per-qid head(k) + padding."""
+    qi = tbl.column("qi").to_numpy()
+    doc = tbl.column("doc_id").to_numpy()
+    score = tbl.column("score").to_numpy()
+    if qi.size == 0:
+        return pa.table(
+            {
+                "qid": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int32()),
+                "score": pa.array([], type=pa.float64()),
+            },
+            schema=RESULT_SCHEMA,
+        )
+    order = np.lexsort((doc, -score, qi))
+    qi, doc, score = qi[order], doc[order], score[order]
+    qids_out: list[str] = []
+    docs_out: list[np.ndarray] = []
+    ranks_out: list[np.ndarray] = []
+    scores_out: list[np.ndarray] = []
+    starts = np.flatnonzero(np.concatenate(([True], qi[1:] != qi[:-1])))
+    ends = np.concatenate((starts[1:], [qi.size]))
+    for s, e in zip(starts, ends):
+        q = int(qi[s])
+        d, sc = doc[s:e][:k], score[s:e][:k]
+        if d.size < k and dense_ids and num_docs > d.size:
+            have = set(d.tolist())
+            pad = [x for x in range(min(num_docs, k + len(have))) if x not in have]
+            pad = pad[: k - d.size]
+            d = np.concatenate([d, np.array(pad, dtype=np.int64)])
+            sc = np.concatenate(
+                [sc, np.full(len(pad), plan["qconst"][q], dtype=np.float64)]
+            )
+        qids_out.extend([plan["qids"][q]] * d.size)
+        docs_out.append(d)
+        ranks_out.append(np.arange(1, d.size + 1, dtype=np.int32))
+        scores_out.append(sc)
+    if not docs_out:
+        return pa.table(
+            {
+                "qid": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int32()),
+                "score": pa.array([], type=pa.float64()),
+            },
+            schema=RESULT_SCHEMA,
+        )
+    return pa.table(
+        {
+            "qid": pa.array(qids_out, type=pa.string()),
+            "doc_id": pa.array(np.concatenate(docs_out), type=pa.int64()),
+            "rank": pa.array(np.concatenate(ranks_out), type=pa.int32()),
+            "score": pa.array(np.concatenate(scores_out), type=pa.float64()),
+        },
+        schema=RESULT_SCHEMA,
+    )
 
 
 def _empty_query_results(plan: dict, k: int, num_docs: int, dense_ids: bool) -> pa.Table:
@@ -256,17 +339,49 @@ def search(
     plan = _query_plan(tokenized, index_dir, params, num_docs)
     plan_ref = ray.put(plan)
 
-    group_dirs = [
-        {"group_dir": os.path.join(index_dir, SEGMENTS_DIR, f"group={g}")}
-        for g in man.done_groups()
+    gids = man.done_groups()
+    target_tasks = 32
+    if ray.is_initialized():
+        target_tasks = max(8, int(ray.cluster_resources().get("CPU", 32)))
+    n_slices = max(1, -(-target_tasks // max(1, len(gids))))
+    bounds = np.linspace(0, num_docs, n_slices + 1).astype(np.int64)
+    scatter = [
+        {
+            "group_dir": os.path.join(index_dir, SEGMENTS_DIR, f"group={g}"),
+            "lo": int(bounds[s]),
+            "hi": int(bounds[s + 1]) if s + 1 < n_slices else np.iinfo(np.int64).max,
+        }
+        for g in gids
+        for s in range(n_slices)
     ]
-    partials = rd.from_items(group_dirs).map_batches(
-        GroupScorer,
-        fn_constructor_args=(plan_ref, params, avgdl, k),
+    partials = rd.from_items(scatter).map_batches(
+        make_score_slice(plan_ref, params, avgdl, k, cfg.block_size),
         batch_format="pyarrow",
         batch_size=1,
-        concurrency=(1, max(1, min(len(group_dirs), 32))),
     )
+
+    # The partials are Q × k × n_tasks tiny rows.  Below ~5M rows the
+    # merge runs driver-side (vectorized numpy) — a sort-based Ray
+    # shuffle costs seconds of fixed latency for kilobytes of data.  The
+    # distributed groupby path stays for genuinely huge query batches.
+    n_partial_est = len(plan["qids"]) * k * len(scatter)
+    if n_partial_est <= 5_000_000:
+        tbl = _collect_arrow(partials)
+        merged_tbl = _merge_partials_local(tbl, plan, k, num_docs, dense_ids)
+        extra = _empty_query_results(plan, k, num_docs, dense_ids)
+        if extra.num_rows:
+            merged_tbl = pa.concat_tables([merged_tbl, extra])
+        if join_back:
+            offsets = load_offsets(index_dir)
+            if offsets is not None:
+                dm = docmap_from_offsets(
+                    offsets, merged_tbl.column("doc_id").to_numpy()
+                )
+                merged_tbl = merged_tbl.append_column(
+                    "conv_id", pa.array(dm["conv_id"], type=pa.string())
+                ).append_column("turn_idx", pa.array(dm["turn_idx"], type=pa.int32()))
+        return rd.from_arrow(merged_tbl)
+
     merged = partials.groupby("qi").map_groups(
         make_merge_topk(plan_ref, k, num_docs, dense_ids), batch_format="pyarrow"
     )

@@ -1,0 +1,243 @@
+"""Embedding similarity: brute-force cosine top-k (the exact baseline),
+an IVF-bucketed approximate variant (the scale path), and
+threshold-based near-duplicate pairs.
+
+Design (SURVEY-external; training-data extension):
+- The query matrix is tiny → ``ray.put`` once, every task reads it
+  zero-copy; per-batch scoring is one numpy matmul (vectorized).
+- Exact top-k = per-batch partial top-k → driver merge (same
+  scatter/gather shape as the BM25 query engine).
+- IVF = k-means-lite coarse centroids (sampled fit, deterministic) →
+  assign each vector to its nearest centroid inside ``map_batches`` →
+  search only the ``nprobe`` closest centroids' buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return np.asarray(arr.to_pylist(), dtype=np.float32)
+
+
+def cosine_topk(
+    ds: rd.Dataset,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Exact top-k by cosine for each query vector.
+
+    Returns (qi, vec_id, rank, score); deterministic ties broken by
+    vec_id asc on the 6-decimal-rounded score."""
+    q = _normalize(np.asarray(query_vecs, dtype=np.float32))
+    q_ref = ray.put(q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = batch.column(id_col).to_numpy()
+        sims = m @ qm.T  # (rows, Q)
+        rows = min(k, ids.size)
+        out_qi, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            s = sims[:, qi]
+            part = np.argpartition(-s, rows - 1)[:rows] if ids.size > rows else np.arange(ids.size)
+            out_qi.append(np.full(part.size, qi, dtype=np.int32))
+            out_id.append(ids[part])
+            out_s.append(s[part].astype(np.float64))
+        return pa.table(
+            {
+                "qi": pa.array(np.concatenate(out_qi)),
+                "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    parts = []
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        parts.append(b)
+    tbl = pa.concat_tables(parts) if parts else pa.table(
+        {"qi": pa.array([], pa.int32()), "vec_id": pa.array([], pa.int64()),
+         "score": pa.array([], pa.float64())}
+    )
+    qi = tbl.column("qi").to_numpy()
+    vid = tbl.column("vec_id").to_numpy()
+    sc = np.round(tbl.column("score").to_numpy(), 6)
+    order = np.lexsort((vid, -sc, qi))
+    qi, vid, sc = qi[order], vid[order], sc[order]
+    keep_qi, keep_id, keep_rank, keep_s = [], [], [], []
+    for q_idx in np.unique(qi):
+        m = qi == q_idx
+        d, s = vid[m][:k], sc[m][:k]
+        keep_qi.extend([int(q_idx)] * d.size)
+        keep_id.append(d)
+        keep_rank.append(np.arange(1, d.size + 1, dtype=np.int64))
+        keep_s.append(s)
+    return pa.table(
+        {
+            "qi": pa.array(keep_qi, type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(keep_id) if keep_id else [], type=pa.int64()),
+            "rank": pa.array(np.concatenate(keep_rank) if keep_rank else [], type=pa.int64()),
+            "score": pa.array(np.concatenate(keep_s) if keep_s else [], type=pa.float64()),
+        }
+    )
+
+
+def fit_centroids(
+    ds: rd.Dataset, n_centroids: int = 16, sample: int = 4096,
+    iters: int = 8, seed: int = 3, vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic k-means-lite on a driver-side sample (the classic
+    IVF coarse quantizer fit: sample fits in memory at any corpus scale
+    because it is a fixed-size sample)."""
+    samp = ds.limit(sample).to_pandas()
+    m = _normalize(np.asarray(list(samp[vec_col]), dtype=np.float32))
+    rng = np.random.RandomState(seed)
+    c = m[rng.choice(m.shape[0], size=min(n_centroids, m.shape[0]), replace=False)]
+    for _ in range(iters):
+        assign = (m @ c.T).argmax(axis=1)
+        for j in range(c.shape[0]):
+            mask = assign == j
+            if mask.any():
+                c[j] = m[mask].mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def ivf_topk(
+    ds: rd.Dataset,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Approximate cosine top-k: search only the nprobe nearest
+    centroid buckets per query.  Same output schema as cosine_topk."""
+    cents = fit_centroids(ds, n_centroids=n_centroids, vec_col=vec_col)
+    q = _normalize(np.asarray(query_vecs, dtype=np.float32))
+    probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    q_ref = ray.put((q, cents, probes))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm, c, pr = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = batch.column(id_col).to_numpy()
+        assign = (m @ c.T).argmax(axis=1)  # bucket per vector
+        out_qi, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(assign, pr[qi])
+            if not mask.any():
+                continue
+            s = m[mask] @ qm[qi]
+            sub_ids = ids[mask]
+            rows = min(k, sub_ids.size)
+            part = (
+                np.argpartition(-s, rows - 1)[:rows]
+                if sub_ids.size > rows
+                else np.arange(sub_ids.size)
+            )
+            out_qi.append(np.full(part.size, qi, dtype=np.int32))
+            out_id.append(sub_ids[part])
+            out_s.append(s[part].astype(np.float64))
+        if not out_qi:
+            return pa.table(
+                {"qi": pa.array([], pa.int32()), "vec_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "qi": pa.array(np.concatenate(out_qi)),
+                "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    parts = [
+        b
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ]
+    tbl = pa.concat_tables(parts) if parts else pa.table(
+        {"qi": pa.array([], pa.int32()), "vec_id": pa.array([], pa.int64()),
+         "score": pa.array([], pa.float64())}
+    )
+    df = tbl.to_pandas()
+    df["score"] = df["score"].round(6)
+    df = df.sort_values(["qi", "score", "vec_id"], ascending=[True, False, True])
+    df = df.groupby("qi", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("qi").cumcount() + 1
+    return pa.table(
+        {
+            "qi": pa.array(df["qi"].astype(np.int64)),
+            "vec_id": pa.array(df["vec_id"], type=pa.int64()),
+            "rank": pa.array(df["rank"].astype(np.int64)),
+            "score": pa.array(df["score"], type=pa.float64()),
+        }
+    )
+
+
+def cosine_pairs(
+    ds: rd.Dataset,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Embedding near-duplicate pairs (a < b, cosine >= threshold) via
+    broadcast right side.
+
+    The full (normalized) matrix is broadcast once — valid while the
+    corpus embedding matrix fits the object store (~10^7 x 768 f32 =
+    30 GB); past that, the LSH/IVF bucketed variants bound the pair
+    search to same-bucket blocks."""
+    full = ds.to_pandas()
+    ids_all = full[id_col].to_numpy()
+    m_all = _normalize(np.asarray(list(full[vec_col]), dtype=np.float32))
+    ref = ray.put((ids_all, m_all))
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids_r, m_r = ray.get(ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = batch.column(id_col).to_numpy()
+        sims = m @ m_r.T
+        a_out, b_out, s_out = [], [], []
+        for i in range(ids.size):
+            mask = (sims[i] >= threshold) & (ids_r > ids[i])
+            if mask.any():
+                a_out.append(np.full(mask.sum(), ids[i], dtype=np.int64))
+                b_out.append(ids_r[mask])
+                s_out.append(np.round(sims[i][mask].astype(np.float64), 6))
+        if not a_out:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a_out)),
+                "b": pa.array(np.concatenate(b_out)),
+                "cosine": pa.array(np.concatenate(s_out)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -33,6 +33,25 @@ import ray
 import ray.data as rd
 
 
+def conv_offsets_local(files: list[str]) -> pd.DataFrame:
+    """Driver-side fast path for small inputs: read just (conv_id,
+    turn_idx) with pyarrow's parallel reader and aggregate in pandas.
+    Same result as :func:`conv_offsets`; used when total rows fit
+    comfortably on the driver (index_build auto-switches)."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(files).to_table(columns=["conv_id", "turn_idx"])
+    g = (
+        t.to_pandas()
+        .groupby("conv_id", sort=True)["turn_idx"]
+        .agg(["count", "max"])
+        .rename(columns={"count": "n_turns", "max": "max_turn"})
+        .reset_index()
+    )
+    g["base"] = np.concatenate(([0], np.cumsum(g["n_turns"].to_numpy())[:-1]))
+    return g
+
+
 def conv_offsets(ds: rd.Dataset) -> pd.DataFrame:
     """(conv_id, n_turns, max_turn_idx) -> sorted DataFrame with
     base offsets.  Pre-aggregates inside map_batches so the shuffle moves

@@ -35,6 +35,7 @@ from ..functions.codec import (
     u32_encode,
     varint_decode,
     varint_encode,
+    varint_encode_with_offsets,
 )
 
 SEGMENT_SCHEMA = pa.schema(
@@ -42,11 +43,20 @@ SEGMENT_SCHEMA = pa.schema(
         ("term", pa.string()),
         ("df", pa.int64()),        # postings in this row
         ("sum_tf", pa.int64()),    # Σ tf (stats aggregation, no decode pass)
-        ("doc_ids", pa.binary()),  # delta+varint, strictly increasing
+        ("doc_ids", pa.binary()),  # block-reset delta+varint (see below)
         ("tfs", pa.binary()),      # varint
         ("dls", pa.binary()),      # varint
         ("bmax_tf", pa.binary()),  # u32 per block of block_size postings
         ("bmin_dl", pa.binary()),  # u32 per block
+        # random-access skip table: per block, the first doc_id (int64)
+        # and the byte offset of the block's first value in each varint
+        # stream (u32).  Doc gaps reset to absolute at block starts, so
+        # any block range decodes independently — this is what makes
+        # doc-sliced query tasks and block-max skipping cheap.
+        ("blk_doc0", pa.binary()),
+        ("blk_off_doc", pa.binary()),
+        ("blk_off_tf", pa.binary()),
+        ("blk_off_dl", pa.binary()),
     ]
 )
 
@@ -86,22 +96,96 @@ def encode_postings(
     dls: np.ndarray,
     block_size: int,
 ) -> dict:
-    """One final segment row from (already doc-sorted) posting arrays."""
+    """One final segment row from (already doc-sorted) posting arrays.
+
+    doc_ids use *block-reset* delta coding: within a block, values are
+    gaps; the first value of every block is absolute.  A whole-row
+    decode is a blockwise cumsum; a range decode starts at any block."""
+    n = doc_ids.size
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    starts = np.arange(0, n, block_size)
+    gaps = np.empty(n, dtype=np.uint64)
+    if n:
+        np.subtract(
+            doc_ids[1:], doc_ids[:-1], out=gaps[1:].view(np.int64), casting="unsafe"
+        )
+        gaps[starts] = doc_ids[starts].astype(np.uint64)
+    doc_buf, doc_off = varint_encode_with_offsets(gaps, block_size)
+    tf_buf, tf_off = varint_encode_with_offsets(tfs.astype(np.uint64), block_size)
+    dl_buf, dl_off = varint_encode_with_offsets(dls.astype(np.uint64), block_size)
     bmax, bmin = _block_bounds(tfs, dls, block_size)
     return {
         "term": term,
-        "df": int(doc_ids.size),
+        "df": int(n),
         "sum_tf": int(tfs.sum()),
-        "doc_ids": delta_encode_doc_ids(doc_ids),
-        "tfs": varint_encode(tfs.astype(np.uint64)),
-        "dls": varint_encode(dls.astype(np.uint64)),
+        "doc_ids": doc_buf,
+        "tfs": tf_buf,
+        "dls": dl_buf,
         "bmax_tf": bmax,
         "bmin_dl": bmin,
+        "blk_doc0": doc_ids[starts].tobytes(),
+        "blk_off_doc": u32_encode(doc_off),
+        "blk_off_tf": u32_encode(tf_off),
+        "blk_off_dl": u32_encode(dl_off),
     }
 
 
+def _blockwise_docs(gaps: np.ndarray, block_size: int) -> np.ndarray:
+    """Reassemble absolute doc_ids from block-reset gaps (vectorized:
+    pad to full blocks, 2-D cumsum, trim)."""
+    n = gaps.size
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    nb = -(-n // block_size)
+    m = np.zeros(nb * block_size, dtype=np.int64)
+    m[:n] = gaps.astype(np.int64)
+    return m.reshape(nb, block_size).cumsum(axis=1).reshape(-1)[:n]
+
+
+_EMPTY3 = (
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+)
+
+
+def decode_segment(
+    row: dict, block_size: int, lo: int | None = None, hi: int | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_ids, tfs, dls) for a segment row, optionally restricted to
+    doc range [lo, hi): only the covering blocks are decoded (skip-table
+    byte offsets), so a doc-sliced query task pays for its share of the
+    posting list, not the whole list."""
+    doc0 = np.frombuffer(row["blk_doc0"], dtype=np.int64)
+    nb = doc0.size
+    if nb == 0:
+        return _EMPTY3
+    if lo is None:
+        b0, b1 = 0, nb
+    else:
+        b0 = max(int(np.searchsorted(doc0, lo, side="right")) - 1, 0)
+        b1 = int(np.searchsorted(doc0, hi, side="left"))
+        if b0 >= b1:
+            return _EMPTY3
+
+    def _slice(buf: bytes, off_key: str) -> bytes:
+        off = np.frombuffer(row[off_key], dtype=np.uint32)
+        end = int(off[b1]) if b1 < nb else len(buf)
+        return buf[int(off[b0]) : end]
+
+    gaps = varint_decode(_slice(row["doc_ids"], "blk_off_doc"))
+    doc = _blockwise_docs(gaps, block_size)
+    tf = varint_decode(_slice(row["tfs"], "blk_off_tf")).astype(np.int64)
+    dl = varint_decode(_slice(row["dls"], "blk_off_dl")).astype(np.int64)
+    if lo is not None:
+        a, b = np.searchsorted(doc, [lo, hi])
+        doc, tf, dl = doc[a:b], tf[a:b], dl[a:b]
+    return doc, tf, dl
+
+
 def decode_postings(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(doc_ids:int64, tfs:int64, dls:int64) from a segment/run row."""
+    """(doc_ids, tfs, dls) from an intermediate RUN row (plain delta
+    coding — runs are merge-internal and never range-decoded)."""
     doc = delta_decode_doc_ids(row["doc_ids"])
     tf = varint_decode(row["tfs"]).astype(np.int64)
     dl = varint_decode(row["dls"]).astype(np.int64)

@@ -42,12 +42,8 @@ from ray.data.aggregate import Sum
 
 from ..config import IndexConfig
 from ..stages.docids import assign_doc_ids, conv_offsets, conv_offsets_local
-from ..stages.segments import (
-    make_encode_run,
-    make_encode_term_group,
-    make_merge_runs,
-)
-from ..stages.tokenize_stage import TokenizePostings
+from ..stages.segments import make_merge_runs, make_merge_runs_partial
+from ..stages.tokenize_stage import TokenizeRuns
 from ..state.manifest import Manifest
 
 OFFSETS_FILE = "offsets.parquet"
@@ -109,25 +105,26 @@ def _tokenize_concurrency(cfg: IndexConfig) -> int | tuple[int, int]:
 def _build_group_segments(
     ds: rd.Dataset, cfg: IndexConfig, out_dir: str, two_level: bool
 ) -> None:
-    """One group's postings → encoded segment rows → parquet (atomic)."""
-    postings = ds.map_batches(
-        TokenizePostings,
+    """One group's pre-combined runs → merged segment rows → parquet
+    (atomic).  The tokenizer emits one compressed run per (term, batch)
+    — the map-side combine — so the groupby(term) shuffle moves
+    ~batch_size× fewer rows than raw postings.  two_level inserts the
+    salted (term, salt) pre-merge for extreme skew (see
+    stages/segments.py)."""
+    runs = ds.map_batches(
+        TokenizeRuns,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
         concurrency=_tokenize_concurrency(cfg),
     )
     if two_level:
-        runs = postings.groupby(["term", "salt"]).map_groups(
-            make_encode_run(cfg.block_size), batch_format="pyarrow"
+        runs = runs.groupby(["term", "salt"]).map_groups(
+            make_merge_runs_partial(), batch_format="pyarrow"
         )
-        segments = runs.groupby("term").map_groups(
-            make_merge_runs(cfg.block_size), batch_format="pyarrow"
-        )
-    else:
-        segments = postings.groupby("term").map_groups(
-            make_encode_term_group(cfg.block_size), batch_format="pyarrow"
-        )
+    segments = runs.groupby("term").map_groups(
+        make_merge_runs(cfg.block_size), batch_format="pyarrow"
+    )
     tmp = out_dir + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
@@ -212,7 +209,7 @@ def build_index(
             ds = assign_doc_ids(ds, offsets)
         else:
             ds = rd.read_parquet(g_files, columns=["doc_id", "text"])
-        two_level = g_rows > cfg.salt_range
+        two_level = g_rows > cfg.salt_range * 16
         g_dir = os.path.join(index_dir, SEGMENTS_DIR, f"group={gid}")
         _build_group_segments(ds, cfg, g_dir, two_level)
         metrics = _group_metrics(g_dir)

@@ -225,26 +225,58 @@ def make_encode_run(block_size: int = 128):
     return encode_run
 
 
+def _merge_run_rows(rows: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode + concat + doc-sort a term's runs (runs hold disjoint doc
+    sets by construction — one batch owns a doc — but arrive in any
+    order, so the merge argsorts rather than trusting salt order)."""
+    if len(rows) == 1:
+        return decode_postings(rows[0])
+    parts = [decode_postings(r) for r in rows]
+    doc = np.concatenate([p[0] for p in parts])
+    tf = np.concatenate([p[1] for p in parts])
+    dl = np.concatenate([p[2] for p in parts])
+    order = np.argsort(doc, kind="stable")
+    return doc[order], tf[order], dl[order]
+
+
 def make_merge_runs(block_size: int = 128):
     """map_groups fn over groupby("term") of run rows: hierarchical merge
-    of a term's salt runs into one final doc-sorted segment row."""
+    of a term's runs into one final doc-sorted segment row."""
 
     def merge_runs(tbl: pa.Table) -> pa.Table:
         rows = tbl.to_pylist()
-        # salts carry disjoint, increasing doc ranges -> concat in salt order
-        rows.sort(key=lambda r: r["salt"])
-        if len(rows) == 1:
-            doc, tf, dl = decode_postings(rows[0])
-        else:
-            parts = [decode_postings(r) for r in rows]
-            doc = np.concatenate([p[0] for p in parts])
-            tf = np.concatenate([p[1] for p in parts])
-            dl = np.concatenate([p[2] for p in parts])
+        doc, tf, dl = _merge_run_rows(rows)
         return _segment_row_table(
             encode_postings(rows[0]["term"], doc, tf, dl, block_size)
         )
 
     return merge_runs
+
+
+def make_merge_runs_partial():
+    """map_groups fn over groupby(["term", "salt"]): hierarchical
+    pre-merge of one salt-range's runs into a single run row — the
+    explicit skew bound for extreme groups (a hot term's merge is split
+    across salts before the final per-term concat touches it)."""
+    from ..functions.codec import delta_encode_doc_ids, varint_encode
+
+    def merge_runs_partial(tbl: pa.Table) -> pa.Table:
+        rows = tbl.to_pylist()
+        doc, tf, dl = _merge_run_rows(rows)
+        return pa.table(
+            {
+                "term": [rows[0]["term"]],
+                "salt": pa.array([rows[0]["salt"]], type=pa.int32()),
+                "df": pa.array([doc.size], type=pa.int64()),
+                "sum_tf": pa.array([int(tf.sum())], type=pa.int64()),
+                "doc_ids": pa.array([delta_encode_doc_ids(doc)], type=pa.binary()),
+                "tfs": pa.array([varint_encode(tf.astype(np.uint64))], type=pa.binary()),
+                "dls": pa.array([varint_encode(dl.astype(np.uint64))], type=pa.binary()),
+            },
+            schema=RUN_SCHEMA,
+        )
+
+    return merge_runs_partial
 
 
 def make_encode_term_group(block_size: int = 128):

@@ -46,6 +46,12 @@ class IndexConfig:
     # parallelism hint for reads (None = let Ray decide)
     override_num_blocks: int | None = None
 
+    # reduce partitions for the groupby(term) shuffle (None = cluster
+    # CPUs).  The sort shuffle's fixed cost grows with in-blocks ×
+    # out-partitions, so the run stream is coalesced to this many blocks
+    # first — at bench scale this alone was a 2x build speedup.
+    shuffle_partitions: int | None = None
+
     def tokenizer_kwargs(self) -> dict:
         return {"stopwords": self.stopwords, "stemmer": self.stemmer, "lower": self.lower}
 

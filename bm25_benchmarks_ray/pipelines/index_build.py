@@ -118,6 +118,12 @@ def _build_group_segments(
         batch_size=cfg.tokenize_batch_size,
         concurrency=_tokenize_concurrency(cfg),
     )
+    import ray
+
+    nparts = cfg.shuffle_partitions or (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
+    runs = runs.repartition(nparts)
     if two_level:
         runs = runs.groupby(["term", "salt"]).map_groups(
             make_merge_runs_partial(), batch_format="pyarrow"

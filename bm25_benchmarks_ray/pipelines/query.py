@@ -113,7 +113,14 @@ _EMPTY_PARTIALS = pa.table(
 )
 
 
-def make_score_slice(plan_ref, params: BM25Params, avgdl: float, k: int, block_size: int):
+def make_score_slice(
+    plan_ref,
+    params: BM25Params,
+    avgdl: float,
+    k: int,
+    block_size: int,
+    prune: bool = False,
+):
     """Task fn scoring all queries against one (group, doc-range) slice.
 
     A build group can be far wider than one task should chew, so the
@@ -148,6 +155,31 @@ def make_score_slice(plan_ref, params: BM25Params, avgdl: float, k: int, block_s
             seg = pads.dataset(group_dir).to_table(
                 filter=pc.field("term").isin(plan["terms"])
             )
+            if prune:
+                from ..stages.blockmax import score_query_pruned
+
+                rows_by_term = {r["term"]: r for r in seg.to_pylist()}
+                q_terms: list[list] = [[] for _ in range(n_q)]
+                q_weights: list[list[float]] = [[] for _ in range(n_q)]
+                for term, fanout in plan["term_fanout"].items():
+                    row = rows_by_term.get(term)
+                    if row is None:
+                        continue
+                    for qi, w_idf in fanout:
+                        q_terms[qi].append(row)
+                        q_weights[qi].append(w_idf)
+                for qi in range(n_q):
+                    if not q_terms[qi]:
+                        continue
+                    doc, score = score_query_pruned(
+                        q_terms[qi], q_weights[qi], params, avgdl, k,
+                        block_size, lo, hi, float(plan["qconst"][qi]),
+                    )
+                    if doc.size:
+                        out_qi.append(np.full(doc.size, qi, dtype=np.int32))
+                        out_doc.append(doc)
+                        out_score.append(score)
+                continue
             docs_by_q: list[list[np.ndarray]] = [[] for _ in range(n_q)]
             vals_by_q: list[list[np.ndarray]] = [[] for _ in range(n_q)]
             for row in seg.to_pylist():
@@ -322,6 +354,7 @@ def search(
     cfg: IndexConfig | None = None,
     join_back: bool = True,
     dense_ids: bool = True,
+    mode: str = "exhaustive",   # "exhaustive" | "pruned" (block-max MaxScore)
 ) -> rd.Dataset:
     """Retrieve top-k (qid, doc_id, rank, score) for every query."""
     params = params or BM25Params()
@@ -355,7 +388,9 @@ def search(
         for s in range(n_slices)
     ]
     partials = rd.from_items(scatter).map_batches(
-        make_score_slice(plan_ref, params, avgdl, k, cfg.block_size),
+        make_score_slice(
+            plan_ref, params, avgdl, k, cfg.block_size, prune=(mode == "pruned")
+        ),
         batch_format="pyarrow",
         batch_size=1,
     )

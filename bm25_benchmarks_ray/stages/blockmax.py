@@ -1,0 +1,165 @@
+"""Block-max pruned scoring: exact top-k with posting-block skipping.
+
+MaxScore-style term-at-a-time pruning over the segment skip tables
+(stages/segments.py), the same family PISA's block_max_maxscore uses
+(/root/reference/benchmark/on_pisa.py:51):
+
+1. Per query, order terms by global max impact (descending); terms with
+   negative idf (robertson on df > N/2) are processed first and never
+   pruned, so the running threshold is always a valid lower bound.
+2. Process terms in order, keeping a candidate set with exact partial
+   scores.  After the heap holds k docs, a term whose remaining-suffix
+   max impact cannot lift an unseen doc over the threshold is scored
+   ONLY for surviving candidates — and only the posting *blocks* that
+   contain candidate docs are decoded (binary search on blk_doc0 →
+   byte-range varint decode).  High-df low-impact terms (the expensive
+   lists) are the ones that get skipped — the point of block-max.
+3. Candidates whose partial score plus the remaining suffix max cannot
+   reach the threshold are dropped.
+
+Exactness: every pruning decision uses an upper bound that dominates
+the true contribution (bmax_tf/bmin_dl dominate tf_shape for every
+variant — tf_shape is increasing in tf, decreasing in dl), so the
+returned top-k (scores and docs) equals the exhaustive scorer's,
+verified in tests/test_blockmax.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions.bm25 import BM25Params, nonoccurrence_shape, tf_shape
+from .segments import decode_segment
+
+
+def term_block_ubs(
+    row: dict, params: BM25Params, avgdl: float, s0: float
+) -> np.ndarray:
+    """Per-block upper bound on (tf_shape - s0) for this term's blocks."""
+    bmax = np.frombuffer(row["bmax_tf"], dtype=np.uint32).astype(np.float64)
+    bmin = np.frombuffer(row["bmin_dl"], dtype=np.uint32).astype(np.float64)
+    return tf_shape(params, bmax, bmin, avgdl) - s0
+
+
+def decode_candidate_blocks(
+    row: dict, block_size: int, cand: np.ndarray, lo: int, hi: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode only the blocks that can contain candidate docs, then
+    restrict to the candidates themselves.  Returns (doc, tf, dl) for
+    postings whose doc is in ``cand`` (sorted)."""
+    doc0 = np.frombuffer(row["blk_doc0"], dtype=np.int64)
+    if doc0.size == 0 or cand.size == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    blocks = np.unique(np.clip(np.searchsorted(doc0, cand, side="right") - 1, 0, doc0.size - 1))
+    parts_d, parts_t, parts_l = [], [], []
+    # decode contiguous block runs in one range call each
+    run_start = blocks[0]
+    prev = blocks[0]
+    runs = []
+    for b in blocks[1:]:
+        if b != prev + 1:
+            runs.append((run_start, prev))
+            run_start = b
+        prev = b
+    runs.append((run_start, prev))
+    for b0, b1 in runs:
+        r_lo = int(doc0[b0])
+        r_hi = int(doc0[b1 + 1]) if b1 + 1 < doc0.size else np.iinfo(np.int64).max
+        d, t, l = decode_segment(row, block_size, max(r_lo, lo), min(r_hi, hi))
+        parts_d.append(d)
+        parts_t.append(t)
+        parts_l.append(l)
+    doc = np.concatenate(parts_d)
+    tf = np.concatenate(parts_t)
+    dl = np.concatenate(parts_l)
+    keep = np.isin(doc, cand, assume_unique=True)
+    return doc[keep], tf[keep], dl[keep]
+
+
+def score_query_pruned(
+    term_rows: list[dict],
+    weights: list[float],
+    params: BM25Params,
+    avgdl: float,
+    k: int,
+    block_size: int,
+    lo: int,
+    hi: int,
+    qconst: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k (docs, scores) for one query over one doc slice.
+
+    term_rows: the query's segment rows (one per in-vocab term in this
+    group); weights: occurrence-count × idf per term."""
+    s0 = nonoccurrence_shape(params)
+    m = len(term_rows)
+    if m == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+    # global per-term max contribution (w * max block ub); negatives
+    # (negative idf) are forced to the front and never pruned
+    gmax = np.empty(m, dtype=np.float64)
+    for i, row in enumerate(term_rows):
+        ubs = term_block_ubs(row, params, avgdl, s0)
+        gmax[i] = weights[i] * (ubs.max() if ubs.size else 0.0)
+    neg = gmax < 0
+    order = np.concatenate(
+        [np.flatnonzero(neg), np.flatnonzero(~neg)[np.argsort(-gmax[~neg])]]
+    )
+    rem = np.zeros(m + 1)
+    pos_part = np.where(gmax[order] > 0, gmax[order], 0.0)
+    rem[:-1] = pos_part[::-1].cumsum()[::-1]  # suffix sum of positive maxes
+
+    cand_doc = np.empty(0, dtype=np.int64)
+    cand_score = np.empty(0, dtype=np.float64)
+    threshold = -np.inf
+    any_neg_pending = True
+
+    for pos, i in enumerate(order):
+        row = term_rows[i]
+        w = weights[i]
+        if pos >= int(neg.sum()):
+            any_neg_pending = False
+        prune_active = (not any_neg_pending) and cand_doc.size >= k
+
+        if prune_active and w > 0 and gmax[i] + rem[pos + 1] < threshold:
+            # an unseen doc cannot reach the threshold through this and
+            # later terms: score this term for candidates only, decoding
+            # candidate blocks alone
+            doc, tf, dl = decode_candidate_blocks(row, block_size, cand_doc, lo, hi)
+        else:
+            doc, tf, dl = decode_segment(row, block_size, lo, hi)
+        if doc.size:
+            contrib = w * (tf_shape(params, tf, dl, avgdl) - s0)
+            cand_doc, cand_score = _accumulate(cand_doc, cand_score, doc, contrib)
+        if cand_doc.size >= k and not any_neg_pending:
+            threshold = _kth(cand_score, k)
+            # drop candidates that cannot reach the threshold anymore
+            keep = cand_score + rem[pos + 1] >= threshold
+            cand_doc, cand_score = cand_doc[keep], cand_score[keep]
+
+    sel = np.lexsort((cand_doc, -cand_score))[:k]
+    return cand_doc[sel], cand_score[sel] + qconst
+
+
+def _kth(scores: np.ndarray, k: int) -> float:
+    if scores.size <= k:
+        return float(scores.min()) if scores.size else -np.inf
+    return float(np.partition(scores, -k)[-k])
+
+
+def _accumulate(
+    cand_doc: np.ndarray,
+    cand_score: np.ndarray,
+    doc: np.ndarray,
+    contrib: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge sorted candidate arrays with a term's (doc, contrib)."""
+    if cand_doc.size == 0:
+        return doc.copy(), contrib.astype(np.float64, copy=True)
+    all_doc = np.concatenate([cand_doc, doc])
+    all_val = np.concatenate([cand_score, contrib])
+    uniq, inv = np.unique(all_doc, return_inverse=True)
+    sums = np.bincount(inv, weights=all_val)
+    return uniq, sums

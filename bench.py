@@ -105,19 +105,19 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
 
 
 def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32,
-                scaling_sf: float = 1.0) -> dict:
+                scaling_sf: float = 4.0) -> dict:
     """Fresh process per parallelism level; same input.
 
-    Uses a corpus ~10x the default bench sf: at sf0.1 (120k turns) the
+    Uses a corpus ~40x the default bench sf: at sf0.1 (120k turns) the
     whole job is a few core-seconds of real work plus fixed Ray job
-    overhead, so N-vs-4N throughput is meaningless there.  The 1.2M-turn
-    corpus (~36M postings) gives each parallelism level real work to
-    chew while staying < 2 min wall.
+    overhead, so N-vs-4N throughput is meaningless there.  The 4.8M-turn
+    corpus (~145M postings) gives each parallelism level real work to
+    chew while staying a few minutes wall.
     """
     results = {}
     for cpus in (cpus_lo, cpus_hi):
         env = dict(os.environ, GRAFT_SF_DIR=sf_dir, RAY_GRAFT_CPUS=str(cpus),
-                   GRAFT_BENCH_SF=str(scaling_sf), GRAFT_BENCH_NQ="500")
+                   GRAFT_BENCH_SF=str(scaling_sf), GRAFT_BENCH_NQ="2000")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, timeout=3600,
@@ -153,7 +153,7 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--cpus-lo", type=int, default=8)
     ap.add_argument("--cpus-hi", type=int, default=32)
-    ap.add_argument("--scaling-sf", type=float, default=1.0)
+    ap.add_argument("--scaling-sf", type=float, default=4.0)
     args = ap.parse_args()
     sf_dir = os.environ.get("GRAFT_SF_DIR", SF_DIR_DEFAULT)
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

@@ -90,16 +90,17 @@ def _plan_groups(files: list[str], rows: list[int], n_groups: int | None) -> lis
 
 
 def _tokenize_concurrency(cfg: IndexConfig) -> int | tuple[int, int]:
-    """Actor-pool size for the tokenizer: autoscale 1..cluster CPUs
-    unless pinned in config (setup cost is one regex compile + frozenset,
-    so scaling the pool up is cheap; scaling to the node keeps the
-    groupby shuffle fed)."""
+    """Actor-pool size for the tokenizer: FIXED at cluster CPUs minus
+    two unless pinned in config.  Fixed beats autoscale 2x here — the
+    autoscaling pool ramps too slowly for a stage this hot — and the
+    two-CPU slack keeps the downstream shuffle/write operators from
+    starving (a full-width fixed pool deadlock-stalls the pipeline)."""
     if cfg.tokenize_concurrency is not None:
         return cfg.tokenize_concurrency
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return (1, max(2, cpus))
+    return max(2, cpus - 2)
 
 
 def _build_group_segments(

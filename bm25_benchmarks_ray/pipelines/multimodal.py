@@ -1,0 +1,221 @@
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The decode kernels themselves are STUBS (no image/audio libs in this
+container): ``decode_backend="real"`` raises NotImplementedError at the
+exact call site where PIL/ffmpeg/soundfile would slot in, and the
+default deterministic fake backend derives pixel/sample content from
+the payload bytes so every downstream stage (resize, feature extract,
+frame sample) runs real numpy on real arrays.  The Ray-side plumbing —
+schemas, small batch sizes for large binary payloads, per-actor setup
+in __init__, typed Arrow outputs — is the deliverable and is fully
+tested (tests/test_multimodal.py).
+
+Batch-size note (100 TB): binary payloads dominate block size; keep
+``batch_size`` small (default 64) so batch × concurrency fits worker
+heaps, and let the object store spill blocks — never hold Python lists
+of decoded frames across batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),       # image | audio | video
+        ("payload", pa.binary()),
+        ("meta", pa.string()),       # JSON: {width,height}|{sample_rate,n_samples}|{n_frames,...}
+    ]
+)
+
+
+def synthesize_media(n: int, seed: int = 9) -> pa.Table:
+    """Deterministic fake media table: payload bytes derived from
+    (seed, media_id); metadata consistent with payload length."""
+    rng = np.random.RandomState(seed)
+    kinds = np.array(["image", "audio", "video"], dtype=object)[
+        rng.randint(0, 3, size=n)
+    ]
+    payloads, metas = [], []
+    for i, kind in enumerate(kinds):
+        h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        if kind == "image":
+            w, hgt = 8 + h[0] % 24, 8 + h[1] % 24
+            payloads.append((h * ((w * hgt * 3) // len(h) + 1))[: w * hgt * 3])
+            metas.append(json.dumps({"width": w, "height": hgt}))
+        elif kind == "audio":
+            ns = 256 + h[0] * 4
+            payloads.append((h * ((ns * 2) // len(h) + 1))[: ns * 2])
+            metas.append(json.dumps({"sample_rate": 16000, "n_samples": ns}))
+        else:
+            nf = 4 + h[0] % 12
+            payloads.append((h * ((nf * 64) // len(h) + 1))[: nf * 64])
+            metas.append(json.dumps({"n_frames": nf, "frame_bytes": 64}))
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), type=pa.int64()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "meta": pa.array(metas, type=pa.string()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class DecodeImage:
+    """Actor stage: image payload → (media_id, width, height, pixels
+    list<uint8>).  Real decoder slots in behind decode_backend."""
+
+    def __init__(self, decode_backend: str = "fake"):
+        self.backend = decode_backend
+
+    def _decode(self, payload: bytes, meta: dict) -> np.ndarray:
+        if self.backend == "real":
+            raise NotImplementedError(
+                "real image decode requires PIL/opencv — not in this "
+                "container; plug the library call here"
+            )
+        w, h = meta["width"], meta["height"]
+        return np.frombuffer(payload[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, px = [], [], [], []
+        for mid, kind, payload, meta_s in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("meta").to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            meta = json.loads(meta_s)
+            img = self._decode(payload, meta)
+            ids.append(mid)
+            ws.append(img.shape[1])
+            hs.append(img.shape[0])
+            px.append(img.reshape(-1))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "width": pa.array(ws, type=pa.int32()),
+                "height": pa.array(hs, type=pa.int32()),
+                "pixels": pa.array([p.tolist() for p in px], type=pa.list_(pa.uint8())),
+            }
+        )
+
+
+class ResizeImage:
+    """Actor stage: nearest-neighbor resize to (target, target) — real
+    numpy on decoded pixel arrays (works identically under a real
+    decoder)."""
+
+    def __init__(self, target: int = 8):
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.target
+        out = []
+        for w, h, px in zip(
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+            batch.column("pixels").to_pylist(),
+        ):
+            img = np.asarray(px, dtype=np.uint8).reshape(h, w, 3)
+            yi = (np.arange(t) * h // t)[:, None]
+            xi = (np.arange(t) * w // t)[None, :]
+            out.append(img[yi, xi].reshape(-1))
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "width": pa.array([t] * batch.num_rows, type=pa.int32()),
+                "height": pa.array([t] * batch.num_rows, type=pa.int32()),
+                "pixels": pa.array([o.tolist() for o in out], type=pa.list_(pa.uint8())),
+            }
+        )
+
+
+class AudioFeatures:
+    """Actor stage: audio payload → fixed-size energy features per
+    window (fake decode: int16 samples from payload bytes)."""
+
+    def __init__(self, n_windows: int = 16, decode_backend: str = "fake"):
+        self.n_windows = n_windows
+        self.backend = decode_backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, feats = [], []
+        for mid, kind, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if kind != "audio":
+                continue
+            if self.backend == "real":
+                raise NotImplementedError("real audio decode: plug soundfile here")
+            samples = np.frombuffer(
+                payload[: (len(payload) // 2) * 2], dtype=np.int16
+            ).astype(np.float64)
+            w = max(1, samples.size // self.n_windows)
+            trimmed = samples[: w * self.n_windows]
+            energy = np.sqrt((trimmed.reshape(-1, w) ** 2).mean(axis=1))
+            ids.append(mid)
+            feats.append(np.round(energy, 4))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "features": pa.array([f.tolist() for f in feats], type=pa.list_(pa.float64())),
+            }
+        )
+
+
+class SampleFrames:
+    """Actor stage: video payload → every k-th frame as binary rows
+    (one output row per sampled frame)."""
+
+    def __init__(self, every: int = 2):
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, frames = [], [], []
+        for mid, kind, payload, meta_s in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("meta").to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            meta = json.loads(meta_s)
+            fb, nf = meta["frame_bytes"], meta["n_frames"]
+            for i in range(0, nf, self.every):
+                ids.append(mid)
+                fidx.append(i)
+                frames.append(payload[i * fb : (i + 1) * fb])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "frame_idx": pa.array(fidx, type=pa.int32()),
+                "frame": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+
+def image_pipeline(ds: rd.Dataset, target: int = 8, concurrency=(1, 4)) -> rd.Dataset:
+    """decode → resize, both actor pools, small batches for binaries."""
+    return ds.map_batches(
+        DecodeImage, batch_format="pyarrow", batch_size=64, concurrency=concurrency
+    ).map_batches(
+        ResizeImage,
+        fn_constructor_args=(target,),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,83 @@
+"""Multimodal stage plumbing: schemas, determinism, actor-pool
+execution over binary payload columns (decode is the documented stub)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from bm25_benchmarks_ray.pipelines.multimodal import (
+    AudioFeatures,
+    DecodeImage,
+    SampleFrames,
+    image_pipeline,
+    synthesize_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(ray_session):
+    return synthesize_media(120, seed=9)
+
+
+def test_synthesize_deterministic(media):
+    again = synthesize_media(120, seed=9)
+    assert media.equals(again)
+    kinds = set(media.column("kind").to_pylist())
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_image_pipeline(media):
+    out = image_pipeline(rd.from_arrow(media), target=8).to_pandas()
+    n_images = sum(1 for k in media.column("kind").to_pylist() if k == "image")
+    assert len(out) == n_images
+    assert (out["width"] == 8).all() and (out["height"] == 8).all()
+    assert all(len(p) == 8 * 8 * 3 for p in out["pixels"])
+    # deterministic: same input -> same resized pixels
+    out2 = image_pipeline(rd.from_arrow(media), target=8).to_pandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = out2.sort_values("media_id").reset_index(drop=True)
+    for pa_, pb in zip(a["pixels"], b["pixels"]):
+        assert list(pa_) == list(pb)
+
+
+def test_audio_features(media):
+    out = (
+        rd.from_arrow(media)
+        .map_batches(AudioFeatures, batch_format="pyarrow", batch_size=32,
+                     concurrency=(1, 2))
+        .to_pandas()
+    )
+    n_audio = sum(1 for k in media.column("kind").to_pylist() if k == "audio")
+    assert len(out) == n_audio
+    assert all(len(f) == 16 for f in out["features"])
+    assert all(np.isfinite(np.asarray(f)).all() for f in out["features"])
+
+
+def test_frame_sampling(media):
+    out = (
+        rd.from_arrow(media)
+        .map_batches(SampleFrames, fn_constructor_args=(2,),
+                     batch_format="pyarrow", batch_size=32, concurrency=(1, 2))
+        .to_pandas()
+    )
+    import json
+
+    expected = 0
+    for kind, meta in zip(
+        media.column("kind").to_pylist(), media.column("meta").to_pylist()
+    ):
+        if kind == "video":
+            expected += len(range(0, json.loads(meta)["n_frames"], 2))
+    assert len(out) == expected
+    assert (out["frame_idx"] % 2 == 0).all()
+    assert all(isinstance(f, bytes) and len(f) == 64 for f in out["frame"])
+
+
+def test_real_backend_is_stubbed():
+    dec = DecodeImage(decode_backend="real")
+    t = synthesize_media(10, seed=1)
+    with pytest.raises(NotImplementedError):
+        dec(t)

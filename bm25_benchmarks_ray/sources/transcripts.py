@@ -38,14 +38,25 @@ _MIXED_CASE = ["Spark", "SPARK", "RayData", "BM25", "Arrow"]
 _ROLES = ["user", "assistant", "tool"]
 
 
-def _build_vocab(rng: np.random.RandomState) -> list[str]:
+def _build_vocab(rng: np.random.RandomState, size: int = 24000) -> list[str]:
+    """~24k distinct surface forms (two- and three-syllable words) — a
+    corpus-realistic vocabulary scale (BEIR corpora run 10^5-10^6 terms;
+    a toy vocab makes every query term as dense as a stopword and
+    distorts query-time cost).  Zipf draws over this vocab give the
+    long-tailed df distribution real corpora have."""
     vocab: list[str] = []
     for s1 in _SYLLABLES:
         for s2 in _SYLLABLES:
             vocab.append(s1 + s2)
-            if len(vocab) >= 1600:
+    for s1 in _SYLLABLES:
+        for s2 in _SYLLABLES:
+            for s3 in _SYLLABLES:
+                vocab.append(s1 + s2 + s3)
+                if len(vocab) >= size:
+                    break
+            if len(vocab) >= size:
                 break
-        if len(vocab) >= 1600:
+        if len(vocab) >= size:
             break
     for stem in _VERB_STEMS:  # morphological families -> same Porter2 stem
         vocab += [stem + suf for suf in ("e", "es", "ed", "ing", "er")]
@@ -130,7 +141,7 @@ def sf_to_n_turns(sf: float) -> int:
     return max(500, int(sf * 1_200_000))
 
 
-def transcripts_dir(sf: float, root: str = "/tmp/bm25rd/transcripts", seed: int = 42) -> str:
+def transcripts_dir(sf: float, root: str = "/tmp/bm25rd/transcripts_v2", seed: int = 42) -> str:
     """Materialize (once) the synthetic transcripts for a scale factor as
     a directory of parquet files sized for parallel reads; return the dir."""
     out = os.path.join(root, f"sf{sf}_seed{seed}")

@@ -1,0 +1,97 @@
+"""Dedup operators on a corpus with planted exact and near duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from bm25_benchmarks_ray.pipelines.dedup import (
+    MinHasher,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash64,
+    simhash_pairs,
+)
+
+BASE = [
+    "the quick brown fox jumps over the lazy dog near the river bank today",
+    "distributed inverted index construction with ray data streaming shuffle salting",
+    "minhash signatures approximate jaccard similarity between shingle sets quite well",
+    "completely unrelated text about cooking pasta with garlic olive oil and basil",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    texts = []
+    # 0-3: base docs; 4: exact dup of 0; 5: near dup of 1 (one word changed);
+    # 6: exact dup of 2; 7+: filler
+    texts.extend(BASE)
+    texts.append(BASE[0])
+    texts.append(BASE[1].replace("salting", "skewing"))
+    texts.append(BASE[2])
+    for i in range(20):
+        texts.append(f"filler document number {i} with some distinct words token{i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i} eta{i} theta{i}")
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts, type=pa.string())}
+    )
+    return t
+
+
+def test_exact_dedup(corpus):
+    out = exact_dedup(rd.from_arrow(corpus).repartition(3)).to_pandas()
+    keep = set(out["doc_id"])
+    assert 0 in keep and 4 not in keep
+    assert 2 in keep and 6 not in keep
+    assert 1 in keep and 5 in keep  # near-dup is NOT an exact dup
+    assert len(keep) == corpus.num_rows - 2
+
+
+def test_ngram_jaccard_finds_planted(corpus):
+    out = ngram_jaccard_pairs(
+        rd.from_arrow(corpus).repartition(3), threshold=0.5
+    ).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+    assert (0, 4) in pairs  # exact dup: jaccard 1.0
+    assert (2, 6) in pairs
+    assert (1, 5) in pairs  # near dup: most shingles shared
+    # sanity: unrelated docs not paired
+    assert not any(a == 3 or b == 3 for a, b in pairs)
+
+
+def test_minhash_lsh_finds_planted(corpus):
+    out = minhash_lsh_pairs(
+        rd.from_arrow(corpus).repartition(3), threshold=0.5
+    ).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+    assert (0, 4) in pairs and (2, 6) in pairs and (1, 5) in pairs
+    for _, r in out.iterrows():  # verified pairs carry true jaccard
+        assert r["jaccard"] >= 0.5
+
+
+def test_minhash_signature_estimates_jaccard():
+    mh = MinHasher(num_hashes=256)
+    s1 = mh.signature(BASE[1])
+    s2 = mh.signature(BASE[1].replace("salting", "skewing"))
+    est = (s1 == s2).mean()
+    sa, sb = shingles(BASE[1]), shingles(BASE[1].replace("salting", "skewing"))
+    true = len(sa & sb) / len(sa | sb)
+    assert abs(est - true) < 0.15
+
+
+def test_simhash_pairs(corpus):
+    out = simhash_pairs(rd.from_arrow(corpus).repartition(3), hamming_max=3).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+    assert (0, 4) in pairs and (2, 6) in pairs  # exact dups: distance 0
+    ham = {(int(a), int(b)): int(h) for a, b, h in zip(out["a"], out["b"], out["hamming"])}
+    assert ham[(0, 4)] == 0
+
+
+def test_simhash_deterministic():
+    assert simhash64(BASE[0]) == simhash64(BASE[0])
+    assert simhash64(BASE[0]) != simhash64(BASE[3])

@@ -1,0 +1,85 @@
+"""Embedding similarity: brute-force exactness vs direct numpy, IVF
+recall on clustered data, threshold pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from bm25_benchmarks_ray.pipelines.similarity import (
+    _normalize,
+    cosine_pairs,
+    cosine_topk,
+    fit_centroids,
+    ivf_topk,
+)
+
+
+def _clustered(n=400, dim=32, n_clusters=8, seed=5):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim) * 3
+    labels = rng.randint(0, n_clusters, size=n)
+    vecs = centers[labels] + rng.randn(n, dim) * 0.3
+    return vecs.astype(np.float32), labels
+
+
+@pytest.fixture(scope="module")
+def embdata(ray_session):
+    vecs, labels = _clustered()
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    return t, vecs
+
+
+def test_cosine_topk_exact(embdata):
+    t, vecs = embdata
+    q = vecs[:3]
+    out = cosine_topk(rd.from_arrow(t).repartition(4), q, k=5).to_pandas()
+    norm = _normalize(vecs.astype(np.float64))
+    qn = _normalize(q.astype(np.float64))
+    for qi in range(3):
+        sims = np.round(norm @ qn[qi], 6)
+        exp = np.lexsort((np.arange(len(sims)), -sims))[:5]
+        got = out[out["qi"] == qi].sort_values("rank")["vec_id"].to_numpy()
+        # ties at 6-decimal rounding resolved by vec_id in both
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_ivf_recall(embdata):
+    t, vecs = embdata
+    q = vecs[:5]
+    exact = cosine_topk(rd.from_arrow(t).repartition(4), q, k=10).to_pandas()
+    approx = ivf_topk(rd.from_arrow(t).repartition(4), q, k=10,
+                      n_centroids=8, nprobe=3).to_pandas()
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact["qi"] == qi]["vec_id"])
+        a = set(approx[approx["qi"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.8  # clustered data, 3/8 probes
+
+
+def test_cosine_pairs_threshold(embdata):
+    t, vecs = embdata
+    out = cosine_pairs(rd.from_arrow(t).repartition(4), threshold=0.99).to_pandas()
+    norm = _normalize(vecs.astype(np.float64))
+    sims = norm @ norm.T
+    iu = np.triu_indices(len(vecs), k=1)
+    expected = {(int(a), int(b)) for a, b in zip(*[x[sims[iu] >= 0.99] for x in iu])}
+    got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+    assert got == expected
+    assert len(got) > 0  # clustered data has close pairs
+
+
+def test_fit_centroids_deterministic(embdata):
+    t, _ = embdata
+    c1 = fit_centroids(rd.from_arrow(t), n_centroids=8)
+    c2 = fit_centroids(rd.from_arrow(t), n_centroids=8)
+    np.testing.assert_array_equal(c1, c2)

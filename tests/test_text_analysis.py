@@ -1,0 +1,74 @@
+"""Text-analysis operators vs hand-computed values."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from bm25_benchmarks_ray.pipelines.text_analysis import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def ds(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "The cat and the dog are in the house",  # stopword-heavy: en
+                    "zorblax qwixt vrenmal plok dstf",       # no stopwords: und
+                    "",                                        # empty
+                ]
+            ),
+        }
+    )
+    return rd.from_arrow(t)
+
+
+def test_language_id(ds):
+    out = language_id(ds).to_pandas().set_index("doc_id")
+    # tokens doc0 (>=2 chars, lowered): the cat and the dog are in the house
+    # stopwords: the, and, the, are, in, the -> 6/9
+    assert out.loc[0, "stopword_ratio"] == pytest.approx(6 / 9, abs=1e-6)
+    assert out.loc[0, "lang"] == "en"
+    assert out.loc[1, "lang"] == "und"
+    assert out.loc[2, "stopword_ratio"] == 0.0
+
+
+def test_token_count(ds):
+    out = token_count(ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "ws_tokens"] == 9
+    assert out.loc[0, "re_tokens"] == 9
+    assert out.loc[2, "ws_tokens"] == 0
+    # bpe-ish on doc1: each word splits into <=4-char pieces
+    assert out.loc[1, "bpe_tokens"] >= out.loc[1, "ws_tokens"]
+
+
+def test_quality(ds):
+    out = quality_score(ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_tokens"] == 9
+    assert out.loc[0, "n_chars"] == len("The cat and the dog are in the house")
+    assert out.loc[0, "punct_ratio"] == 0.0
+    assert 0.0 <= out.loc[0, "quality"] <= 1.0
+    assert out.loc[2, "quality"] <= 0.31  # empty: only punct term contributes
+
+
+def test_fingerprint(ds):
+    out = fingerprint(ds).to_pandas().set_index("doc_id")
+    norm = "the cat and the dog are in the house"
+    assert out.loc[0, "fp"] == hashlib.md5(norm.encode()).hexdigest()
+    # case/punct robustness
+    t2 = pa.table(
+        {"doc_id": pa.array([0], type=pa.int64()),
+         "text": ["THE cat, AND the dog ARE in the house!!"]}
+    )
+    out2 = fingerprint(rd.from_arrow(t2)).to_pandas()
+    assert out2["fp"].iloc[0] == out.loc[0, "fp"]

@@ -40,7 +40,7 @@ class IndexConfig:
     block_size: int = 128
 
     # actor-pool sizing for the tokenizer stage
-    tokenize_batch_size: int = 2048
+    tokenize_batch_size: int = 16384
     tokenize_concurrency: int | tuple[int, int] | None = None  # None -> (2, cluster cpus)
 
     # parallelism hint for reads (None = let Ray decide)

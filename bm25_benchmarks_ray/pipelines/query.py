@@ -354,7 +354,7 @@ def search(
     cfg: IndexConfig | None = None,
     join_back: bool = True,
     dense_ids: bool = True,
-    mode: str = "exhaustive",   # "exhaustive" | "pruned" (block-max MaxScore)
+    mode: str = "pruned",   # "pruned" (block-max MaxScore, default) | "exhaustive"
 ) -> rd.Dataset:
     """Retrieve top-k (qid, doc_id, rank, score) for every query."""
     params = params or BM25Params()

@@ -32,8 +32,10 @@ def _bm25_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--b", type=float, default=0.75)
     p.add_argument("--delta", type=float, default=0.5)
     p.add_argument("--top-k", type=int, default=10)
-    p.add_argument("--query-mode", default="exhaustive",
+    p.add_argument("--query-mode", default="pruned",
                    choices=["exhaustive", "pruned"])
+    p.add_argument("--samples", type=int, default=None,
+                   help="seeded random query sample size (reference --samples)")
 
 
 def _read_tsv(path: str) -> list[tuple[str, str]]:
@@ -46,7 +48,11 @@ def _read_tsv(path: str) -> list[tuple[str, str]]:
     return out
 
 
+_OWNS_RAY = False
+
+
 def _init_ray(num_cpus: int | None) -> None:
+    global _OWNS_RAY
     import ray
 
     if not ray.is_initialized():
@@ -56,6 +62,7 @@ def _init_ray(num_cpus: int | None) -> None:
             include_dashboard=False,
             logging_level="ERROR",
         )
+        _OWNS_RAY = True
 
 
 def cmd_index(args) -> int:
@@ -79,8 +86,10 @@ def cmd_query(args) -> int:
     from .pipelines.query import search
 
     _init_ray(args.num_cpus)
+    from .pipelines.query import sample_queries
+
     params = BM25Params(method=args.method, k1=args.k1, b=args.b, delta=args.delta)
-    queries = _read_tsv(args.queries)
+    queries = sample_queries(_read_tsv(args.queries), args.samples)
     res = search(args.index, queries, params=params, k=args.top_k,
                  mode=args.query_mode).to_pandas()
     if args.output:
@@ -99,8 +108,10 @@ def cmd_eval(args) -> int:
     from .state.run_record import Timer, save_run_record
 
     _init_ray(args.num_cpus)
+    from .pipelines.query import sample_queries
+
     params = BM25Params(method=args.method, k1=args.k1, b=args.b, delta=args.delta)
-    queries = _read_tsv(args.queries)
+    queries = sample_queries(_read_tsv(args.queries), args.samples)
     qrels: dict[str, dict[str, int]] = {}
     with open(args.qrels) as f:
         for line in f:
@@ -178,7 +189,8 @@ def main(argv=None) -> int:
     finally:
         import ray
 
-        if ray.is_initialized():
+        # shut down only a session we started (embedders/tests own theirs)
+        if _OWNS_RAY and ray.is_initialized():
             ray.shutdown()
 
 

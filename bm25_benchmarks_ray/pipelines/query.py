@@ -57,6 +57,22 @@ RESULT_SCHEMA = pa.schema(
 )
 
 
+def sample_queries(
+    queries: list[tuple[str, str]], samples: int | None, seed: int = 42
+) -> list[tuple[str, str]]:
+    """Seeded query sampling — the reference's --samples path
+    (/root/reference/benchmark/on_rank_bm25.py:72-76: random.seed(42)
+    then random.sample of the qid list)."""
+    if samples is None or samples >= len(queries):
+        return queries
+    import random
+
+    rng = random.Random(seed)
+    keys = [q for q, _ in queries]
+    keep = set(rng.sample(keys, samples))
+    return [(q, t) for q, t in queries if q in keep]
+
+
 def tokenize_queries(
     queries: list[tuple[str, str]], cfg: IndexConfig
 ) -> list[tuple[str, Counter]]:
@@ -145,34 +161,42 @@ def make_score_slice(
         out_doc: list[np.ndarray] = []
         out_score: list[np.ndarray] = []
         n_q = len(plan["qids"])
-        for group_dir, lo, hi in zip(
+        for group_dir, lo, hi, q_lo, q_hi in zip(
             batch.column("group_dir").to_pylist(),
             batch.column("lo").to_pylist(),
             batch.column("hi").to_pylist(),
+            batch.column("q_lo").to_pylist(),
+            batch.column("q_hi").to_pylist(),
         ):
-            if not plan["terms"]:
+            terms_here = sorted(
+                {
+                    t
+                    for t, fl in plan["term_fanout"].items()
+                    if any(q_lo <= qi < q_hi for qi, _ in fl)
+                }
+            )
+            if not terms_here:
                 continue
             seg = pads.dataset(group_dir).to_table(
-                filter=pc.field("term").isin(plan["terms"])
+                filter=pc.field("term").isin(terms_here)
             )
             if prune:
                 from ..stages.blockmax import score_query_pruned
 
                 rows_by_term = {r["term"]: r for r in seg.to_pylist()}
-                q_terms: list[list] = [[] for _ in range(n_q)]
-                q_weights: list[list[float]] = [[] for _ in range(n_q)]
+                q_terms: dict[int, list] = {}
+                q_weights: dict[int, list[float]] = {}
                 for term, fanout in plan["term_fanout"].items():
                     row = rows_by_term.get(term)
                     if row is None:
                         continue
                     for qi, w_idf in fanout:
-                        q_terms[qi].append(row)
-                        q_weights[qi].append(w_idf)
-                for qi in range(n_q):
-                    if not q_terms[qi]:
-                        continue
+                        if q_lo <= qi < q_hi:
+                            q_terms.setdefault(qi, []).append(row)
+                            q_weights.setdefault(qi, []).append(w_idf)
+                for qi, rows in q_terms.items():
                     doc, score = score_query_pruned(
-                        q_terms[qi], q_weights[qi], params, avgdl, k,
+                        rows, q_weights[qi], params, avgdl, k,
                         block_size, lo, hi, float(plan["qconst"][qi]),
                     )
                     if doc.size:
@@ -180,19 +204,18 @@ def make_score_slice(
                         out_doc.append(doc)
                         out_score.append(score)
                 continue
-            docs_by_q: list[list[np.ndarray]] = [[] for _ in range(n_q)]
-            vals_by_q: list[list[np.ndarray]] = [[] for _ in range(n_q)]
+            docs_by_q: dict[int, list[np.ndarray]] = {}
+            vals_by_q: dict[int, list[np.ndarray]] = {}
             for row in seg.to_pylist():
                 doc, tf, dl = decode_segment(row, block_size, lo, hi)
                 if doc.size == 0:
                     continue
                 base = tf_shape(params, tf, dl, avgdl) - s0
                 for qi, w_idf in plan["term_fanout"][row["term"]]:
-                    docs_by_q[qi].append(doc)
-                    vals_by_q[qi].append(w_idf * base)
-            for qi in range(n_q):
-                if not docs_by_q[qi]:
-                    continue
+                    if q_lo <= qi < q_hi:
+                        docs_by_q.setdefault(qi, []).append(doc)
+                        vals_by_q.setdefault(qi, []).append(w_idf * base)
+            for qi in docs_by_q:
                 doc = np.concatenate(docs_by_q[qi])
                 val = np.concatenate(vals_by_q[qi])
                 uniq, inv = np.unique(doc, return_inverse=True)
@@ -376,15 +399,26 @@ def search(
     target_tasks = 32
     if ray.is_initialized():
         target_tasks = max(8, int(ray.cluster_resources().get("CPU", 32)))
-    n_slices = max(1, -(-target_tasks // max(1, len(gids))))
+    # Parallelism comes from groups × query-batches × doc-slices, filled
+    # in that order: query batching is free (no duplicated decode, no
+    # per-slice python overhead), doc-slicing is the fallback for small
+    # query sets so single-query latency still fans out.
+    n_q = len(plan["qids"])
+    per_group = max(1, -(-target_tasks // max(1, len(gids))))
+    n_qbatch = min(per_group, max(1, n_q // 16))
+    n_slices = max(1, -(-per_group // n_qbatch))
+    q_bounds = np.linspace(0, n_q, n_qbatch + 1).astype(np.int64)
     bounds = np.linspace(0, num_docs, n_slices + 1).astype(np.int64)
     scatter = [
         {
             "group_dir": os.path.join(index_dir, SEGMENTS_DIR, f"group={g}"),
             "lo": int(bounds[s]),
             "hi": int(bounds[s + 1]) if s + 1 < n_slices else np.iinfo(np.int64).max,
+            "q_lo": int(q_bounds[qb]),
+            "q_hi": int(q_bounds[qb + 1]),
         }
         for g in gids
+        for qb in range(n_qbatch)
         for s in range(n_slices)
     ]
     partials = rd.from_items(scatter).map_batches(

@@ -1,0 +1,71 @@
+"""CLI end-to-end (index → query → eval, run-record written) plus
+query sampling semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from bm25_benchmarks_ray.pipelines.query import sample_queries
+from bm25_benchmarks_ray.sources.transcripts import (
+    synthesize_queries,
+    synthesize_transcripts,
+)
+
+
+def test_sample_queries_seeded():
+    qs = [(f"q{i}", f"text {i}") for i in range(50)]
+    a = sample_queries(qs, 10)
+    b = sample_queries(qs, 10)
+    assert a == b and len(a) == 10
+    assert sample_queries(qs, None) == qs
+    assert sample_queries(qs, 100) == qs
+
+
+def test_cli_index_query_eval(ray_session, tmp_path):
+    from bm25_benchmarks_ray import cli
+    from tests.oracle import build_oracle_index, oracle_topk
+    from bm25_benchmarks_ray.functions.bm25 import BM25Params
+
+    corpus = tmp_path / "corpus.parquet"
+    pq.write_table(synthesize_transcripts(300, seed=33), str(corpus))
+    idx = str(tmp_path / "idx")
+    rc = cli.main(["index", "--input", str(corpus), "--index", idx])
+    assert rc == 0 and os.path.exists(os.path.join(idx, "manifest.json"))
+
+    queries = synthesize_queries(10, seed=3)[:8]
+    qfile = tmp_path / "q.tsv"
+    qfile.write_text("".join(f"{qid}\t{text}\n" for qid, text in queries))
+    out = tmp_path / "res.tsv"
+    rc = cli.main(["query", "--index", idx, "--queries", str(qfile),
+                   "--output", str(out)])
+    assert rc == 0
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 1 + 8 * 10  # header + 8 queries x top-10
+
+    # qrels from the oracle's top-3 -> eval must score near-perfect
+    import pandas as pd
+
+    table = pq.read_table(str(corpus)).to_pandas()
+    table = table.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    oracle = build_oracle_index(list(table["text"]))
+    qrels_lines = []
+    for qid, text in queries:
+        for d, s in oracle_topk(oracle, text, BM25Params(), k=3):
+            if s > 0:
+                qrels_lines.append(f"{qid}\t{d}\t1\n")
+    qrels = tmp_path / "qrels.tsv"
+    qrels.write_text("".join(qrels_lines))
+    rdir = str(tmp_path / "results")
+    rc = cli.main(["eval", "--index", idx, "--queries", str(qfile),
+                   "--qrels", str(qrels), "--result-dir", rdir])
+    assert rc == 0
+    recs = []
+    for root, _, fs in os.walk(rdir):
+        recs += [json.load(open(os.path.join(root, f))) for f in fs]
+    assert len(recs) == 1
+    assert recs[0]["scores"]["recall"]["Recall@10"] >= 0.99
+    assert recs[0]["scores"]["ndcg"]["NDCG@10"] > 0.8

@@ -84,6 +84,26 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
             lats.append(time.perf_counter() - t0)
         lats = np.array(lats)
 
+        # supplementary large-corpus index measurement: the sf0.1 corpus
+        # (120k turns) is fixed-overhead-dominated; a 1.2M-turn build
+        # shows the streaming pipeline's real throughput (skipped when
+        # the main run is already large or explicitly disabled)
+        large = {}
+        large_sf = float(os.environ.get("GRAFT_BENCH_LARGE_SF", "1.0"))
+        if large_sf > sf:
+            lcorpus = transcripts_dir(large_sf)
+            lidx = os.path.join(BENCH_ROOT, f"idx_sf{large_sf}_cpus{num_cpus}")
+            shutil.rmtree(lidx, ignore_errors=True)
+            t0 = time.perf_counter()
+            build_index(lcorpus, lidx, cfg, mode="transcripts", fresh=True)
+            el = time.perf_counter() - t0
+            timings["index_large"] = el
+            large = {
+                "large_sf": large_sf,
+                "large_n_turns": sf_to_n_turns(large_sf),
+                "index_large_turns_per_s": round(sf_to_n_turns(large_sf) / el, 1),
+            }
+
         total = timings["index"] + timings["query"]
         return {
             "metric": "transcripts index build + BM25 top-10 batch query",
@@ -99,25 +119,30 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
             "query_qps": round(n_queries / timings["query"], 1),
             "query_p50_s": round(float(np.percentile(lats, 50)), 4),
             "query_p99_s": round(float(np.percentile(lats, 99)), 4),
+            **large,
         }
     finally:
         ray.shutdown()
 
 
 def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32,
-                scaling_sf: float = 4.0) -> dict:
+                scaling_sf: float = 8.0) -> dict:
     """Fresh process per parallelism level; same input.
 
-    Uses a corpus ~40x the default bench sf: at sf0.1 (120k turns) the
+    Uses a corpus ~80x the default bench sf: at sf0.1 (120k turns) the
     whole job is a few core-seconds of real work plus fixed Ray job
-    overhead, so N-vs-4N throughput is meaningless there.  The 4.8M-turn
-    corpus (~145M postings) gives each parallelism level real work to
+    overhead, so N-vs-4N throughput is meaningless there.  The 9.6M-turn
+    corpus (~290M postings) gives each parallelism level real work to
     chew while staying a few minutes wall.
     """
     results = {}
     for cpus in (cpus_lo, cpus_hi):
+        # OMP_NUM_THREADS caps pyarrow's internal thread pool too;
+        # without it the "8 CPU" leg quietly uses all physical cores for
+        # parquet decode/compute and the comparison is dishonest
         env = dict(os.environ, GRAFT_SF_DIR=sf_dir, RAY_GRAFT_CPUS=str(cpus),
-                   GRAFT_BENCH_SF=str(scaling_sf), GRAFT_BENCH_NQ="2000")
+                   GRAFT_BENCH_SF=str(scaling_sf), GRAFT_BENCH_NQ="2000",
+                   OMP_NUM_THREADS=str(cpus))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, timeout=3600,
@@ -153,7 +178,7 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--cpus-lo", type=int, default=8)
     ap.add_argument("--cpus-hi", type=int, default=32)
-    ap.add_argument("--scaling-sf", type=float, default=4.0)
+    ap.add_argument("--scaling-sf", type=float, default=8.0)
     args = ap.parse_args()
     sf_dir = os.environ.get("GRAFT_SF_DIR", SF_DIR_DEFAULT)
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

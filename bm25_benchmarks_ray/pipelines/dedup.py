@@ -257,12 +257,9 @@ def minhash_lsh_pairs(
     if not verify:
         return cands
 
-    texts = dict(
-        zip(
-            ds.to_pandas()["doc_id"],
-            ds.to_pandas()["text"],
-        )
-    )  # verify side table; at scale replace with a join against the corpus
+    _df = ds.to_pandas()
+    texts = dict(zip(_df["doc_id"], _df["text"]))
+    # verify side table; at scale replace with a join against the corpus
 
     def verify_pairs(df: pd.DataFrame) -> pd.DataFrame:
         out = []

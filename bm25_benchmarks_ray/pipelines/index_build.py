@@ -6,8 +6,11 @@ tokenize → index.  Here each step is a streaming Ray Data stage:
 
     read_parquet(text cols only)                      # prune at the read
       → [transcripts] assign doc_id (broadcast conv offsets)
-      → map_batches(TokenizePostings, actor pool)     # (term,doc_id,tf,dl,salt)
-      → groupby(term[, salt]) → encode / merge runs   # the wide shuffle
+      → map_batches(TokenizeRuns, fixed actor pool)   # map-side combine:
+                                                      #   one compressed run per (term, batch)
+      → repartition(3×CPUs)                           # coalesce before shuffle
+      → [extreme skew] groupby(term, salt) pre-merge  # salted hierarchical level
+      → groupby(term) → merge runs → segment rows     # the wide shuffle
       → write_parquet(segments/group=K)               # resumable partition
 
 The build is partitioned into *groups* (contiguous runs of input files →
@@ -17,12 +20,20 @@ query-time scatter unit (every doc's postings live entirely in its
 group's partition, so a query task scoring one group computes exact
 partial scores — no cross-group accumulation needed).
 
+Skew handling, in order of engagement: (1) the map-side combine bounds
+mapper output and cuts shuffle rows ~batch_size×; (2) groups cap any
+term's per-merge postings at the group's doc count (~4M); (3) 3×CPU
+merge partitions keep one hot term-range from straggling a merge wave;
+(4) for extreme salt_range/group ratios the salted (term, salt)
+pre-merge splits a single term's merge across doc ranges before the
+final concat (the hierarchical-merge level the north rule names —
+config-gated, exercised in tests via small salt_range).
+
 Scale notes (100 TB): each group is an independent sub-pipeline that
-saturates the cluster; its shuffle moves only that group's postings.
-Reduce-task skew is bounded by salting (stages/segments.py).  The conv
-offsets table (one row per conversation) and the query structures are
-the only broadcast state.  Nothing materializes the corpus: stats come
-from parquet row-count metadata + per-segment-row sums.
+saturates the cluster; its shuffle moves only that group's compressed
+runs.  The conv offsets table (one row per conversation) and the query
+structures are the only broadcast state.  Nothing materializes the
+corpus: stats come from parquet row-count metadata + per-segment sums.
 """
 
 from __future__ import annotations
@@ -121,9 +132,10 @@ def _build_group_segments(
     )
     import ray
 
-    nparts = cfg.shuffle_partitions or (
-        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    )
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    # 3x CPUs: enough partitions that one heavy term-range (hot terms
+    # cost ~ postings, not rows) can't straggle the merge wave
+    nparts = cfg.shuffle_partitions or 3 * cpus
     runs = runs.repartition(nparts)
     if two_level:
         runs = runs.groupby(["term", "salt"]).map_groups(
@@ -216,7 +228,10 @@ def build_index(
             ds = assign_doc_ids(ds, offsets)
         else:
             ds = rd.read_parquet(g_files, columns=["doc_id", "text"])
-        two_level = g_rows > cfg.salt_range * 16
+        # the salted pre-merge only pays once a single term's postings
+        # within a group could swamp one reduce task; with the combiner
+        # + ~4M-doc groups that needs an extreme salt_range/group ratio
+        two_level = g_rows > cfg.salt_range * 64
         g_dir = os.path.join(index_dir, SEGMENTS_DIR, f"group={gid}")
         _build_group_segments(ds, cfg, g_dir, two_level)
         metrics = _group_metrics(g_dir)

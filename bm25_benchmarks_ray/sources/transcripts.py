@@ -152,7 +152,7 @@ def transcripts_dir(sf: float, root: str = "/tmp/bm25rd/transcripts_v2", seed: i
     tmp = out + ".tmp"
     os.makedirs(tmp, exist_ok=True)
     n = table.num_rows
-    rows_per_file = max(2000, n // 16)  # >=16 files at bench scale
+    rows_per_file = max(2000, n // 64)  # >=64 files: read parallelism at scale
     i = 0
     for off in range(0, n, rows_per_file):
         pq.write_table(

@@ -112,20 +112,54 @@ class TokenizeRuns:
 
         from ..functions.codec import varint_encode, varint_nbytes
 
-        exploded = self.inner(batch)
-        terms = exploded.column("term").to_pylist()
-        doc = exploded.column("doc_id").to_numpy()
-        tf = exploded.column("tf").to_numpy().astype(np.uint64)
-        dl = exploded.column("dl").to_numpy().astype(np.uint64)
+        # tokenize straight into flat token/doc arrays (no per-doc
+        # Counter: tf counting falls out of the (term, doc) sort below)
+        texts_col = batch.column("text")
+        inner = self.inner
+        if inner.lower:
+            import pyarrow.compute as pc
 
-        codes, uniq = pd.factorize(pd.Series(terms, dtype=object), sort=False)
-        # one global sort by (term, doc); per-term slices are then
-        # contiguous and doc-sorted
-        order = np.lexsort((doc, codes))
-        codes_s = codes[order]
-        doc_s = doc[order].astype(np.int64)
-        tf_s = tf[order]
-        dl_s = dl[order]
+            texts_col = pc.utf8_lower(texts_col)
+        texts = texts_col.to_pylist()
+        batch_doc_ids = batch.column("doc_id").to_numpy()
+        findall = inner.findall
+        stopwords = inner.stopwords
+        stemmer = inner.stemmer
+        all_tokens: list[str] = []
+        doc_lens = np.empty(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            toks = findall(text)
+            if stopwords:
+                toks = [t for t in toks if t not in stopwords]
+            if stemmer is not None:
+                toks = [stemmer(t) for t in toks]
+            doc_lens[i] = len(toks)
+            all_tokens.extend(toks)
+
+        tok_doc = np.repeat(batch_doc_ids, doc_lens)
+        tok_dl = np.repeat(doc_lens, doc_lens).astype(np.uint64)
+        codes_all, uniq = pd.factorize(pd.Series(all_tokens, dtype=object), sort=False)
+        # sort token occurrences by (term, doc); equal (term, doc) runs
+        # are then contiguous → tf = run length
+        order0 = np.lexsort((tok_doc, codes_all))
+        c0 = codes_all[order0]
+        d0 = tok_doc[order0]
+        l0 = tok_dl[order0]
+        if c0.size:
+            new_run = np.concatenate(
+                ([True], (c0[1:] != c0[:-1]) | (d0[1:] != d0[:-1]))
+            )
+            run_starts = np.flatnonzero(new_run)
+            run_ends = np.concatenate((run_starts[1:], [c0.size]))
+            tf_s = (run_ends - run_starts).astype(np.uint64)
+            codes_s = c0[run_starts]
+            doc_s = d0[run_starts].astype(np.int64)
+            dl_s = l0[run_starts]
+        else:
+            tf_s = np.empty(0, dtype=np.uint64)
+            codes_s = np.empty(0, dtype=np.int64)
+            doc_s = np.empty(0, dtype=np.int64)
+            dl_s = np.empty(0, dtype=np.uint64)
         n_terms = len(uniq)
         bounds = np.searchsorted(codes_s, np.arange(n_terms + 1))
         t_starts = bounds[:-1]

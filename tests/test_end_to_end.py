@@ -40,7 +40,9 @@ def corpus_dir(tmp_path_factory):
 def built(ray_session, corpus_dir, tmp_path_factory):
     d, table = corpus_dir
     idx = str(tmp_path_factory.mktemp("idx") / "index")
-    cfg = IndexConfig(salt_range=100)  # force two-level merge path
+    # salt_range small enough that group_rows > salt_range*64 → the
+    # salted (term, salt) pre-merge level is exercised
+    cfg = IndexConfig(salt_range=2)
     man = build_index(d, idx, cfg, mode="transcripts", n_groups=2)
     # oracle over the same docs in (conv_id, turn_idx) order
     df = table.to_pandas().sort_values(["conv_id", "turn_idx"], kind="mergesort")
@@ -58,6 +60,7 @@ def test_manifest_and_stats(built):
     assert man.stats["n_terms"] == len(oracle.postings)
     for e in man.groups.values():
         assert e["n_postings"] > 0 and e["n_terms"] > 0 and e["input_files"]
+        assert e["two_level"]  # salted pre-merge engaged (salt_range=2)
 
 
 def assert_rank_identical(got_docs, got_scores, exp, atol=1e-6, ctx=None):

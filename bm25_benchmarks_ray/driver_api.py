@@ -281,6 +281,26 @@ def q_fingerprint(sf_dir: str):
     return fingerprint(_docs_ds(sf_dir))
 
 
+def q_winnow_fingerprint(sf_dir: str):
+    from .pipelines.text_analysis import winnow_fingerprint
+
+    ds = winnow_fingerprint(_docs_ds(sf_dir))
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for doc_id, fl in zip(
+            b.column("doc_id").to_pylist(), b.column("fps").to_pylist()
+        ):
+            ids.extend([doc_id] * len(fl))
+            fps.extend(int(x) for x in fl)
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "fp": pa.array(fps, type=pa.uint64())}
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def q_corpus_union(sf_dir: str):
     """Disjoint multi-corpus union with key prefixing — the
     merge_cqa_dupstack analogue (/root/reference/utils/beir.py:38-112):
@@ -565,9 +585,10 @@ ORACLE_SQL: dict[str, str] = {
     "fingerprint": FINGERPRINT_SQL,
     "corpus_union": CORPUS_UNION_SQL,
     "doc_text_projection": DOC_TEXT_PROJECTION_SQL,
-    # minhash_lsh_pairs / simhash_pairs / embed_ivf_topk: approximate /
-    # hash-structured — not SQL-expressible; driver records rows-only,
-    # pytest verifies against planted duplicates (tests/test_dedup.py).
+    # minhash_lsh_pairs / simhash_pairs / embed_ivf_topk /
+    # winnow_fingerprint: approximate / hash-structured — not
+    # SQL-expressible; driver records rows-only, pytest verifies against
+    # planted duplicates / shared passages.
 }
 
 
@@ -599,6 +620,7 @@ def build_queries() -> dict:
             "quality_score": q_quality_score,
             "token_count": q_token_count,
             "fingerprint": q_fingerprint,
+            "winnow_fingerprint": q_winnow_fingerprint,
             "corpus_union": q_corpus_union,
             "doc_text_projection": q_doc_text_projection,
         }

@@ -61,6 +61,35 @@ def test_quality(ds):
     assert out.loc[2, "quality"] <= 0.31  # empty: only punct term contributes
 
 
+def test_winnow_fingerprint(ray_session):
+    from bm25_benchmarks_ray.pipelines.text_analysis import winnow_fingerprint
+
+    shared = "the distributed inverted index merges compressed posting segments"
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(
+                [
+                    f"intro words here {shared} trailing stuff",
+                    f"totally different opening but then {shared} and more",
+                    "nothing in common with the others at all whatsoever today",
+                ]
+            ),
+        }
+    )
+    out = (
+        winnow_fingerprint(rd.from_arrow(t), k=4, window=3)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    f0, f1, f2 = (set(out.loc[i, "fps"]) for i in range(3))
+    assert f0 & f1  # shared passage -> shared fingerprints
+    assert not (f0 & f2)
+    # deterministic
+    out2 = winnow_fingerprint(rd.from_arrow(t), k=4, window=3).to_pandas()
+    assert sorted(map(list, out2["fps"])) == sorted(map(list, out["fps"]))
+
+
 def test_fingerprint(ds):
     out = fingerprint(ds).to_pandas().set_index("doc_id")
     norm = "the cat and the dog are in the house"

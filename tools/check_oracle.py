@@ -30,7 +30,10 @@ def to_pandas(res) -> pd.DataFrame:
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    try:
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    except TypeError:
+        pass  # unhashable (list) columns: rows-only entries, order kept
     for c in df.columns:
         if df[c].dtype.kind == "f":
             df[c] = df[c].round(6)

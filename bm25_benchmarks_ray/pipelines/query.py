@@ -378,8 +378,17 @@ def search(
     join_back: bool = True,
     dense_ids: bool = True,
     mode: str = "pruned",   # "pruned" (block-max MaxScore, default) | "exhaustive"
+    groups: list[int] | None = None,
 ) -> rd.Dataset:
-    """Retrieve top-k (qid, doc_id, rank, score) for every query."""
+    """Retrieve top-k (qid, doc_id, rank, score) for every query.
+
+    ``groups`` restricts the search to a subset of index groups — the
+    partial-index load path (the reference's mmap/query-only scripts
+    load just what a query needs, /root/reference/benchmark/inference/
+    retrieve_mmap.py:16; here the analogue is streaming only the chosen
+    groups' segment shards).  Scores over the restricted doc set are
+    exact; dense-id padding is disabled since absent docs are not
+    zero-scored, they are out of scope."""
     params = params or BM25Params()
     man = Manifest.load(index_dir)
     if man is None or not man.is_complete():
@@ -396,6 +405,12 @@ def search(
     plan_ref = ray.put(plan)
 
     gids = man.done_groups()
+    if groups is not None:
+        missing = set(groups) - set(gids)
+        if missing:
+            raise ValueError(f"groups not in index: {sorted(missing)}")
+        gids = sorted(groups)
+        dense_ids = False  # partial doc space: no zero-score padding
     target_tasks = 32
     if ray.is_initialized():
         target_tasks = max(8, int(ray.cluster_resources().get("CPU", 32)))

@@ -199,32 +199,6 @@ def _segment_row_table(row: dict) -> pa.Table:
     )
 
 
-def make_encode_run(block_size: int = 128):
-    """map_groups fn over groupby(["term", "salt"]): one compressed run
-    per (term, salt)."""
-
-    def encode_run(tbl: pa.Table) -> pa.Table:
-        doc = tbl.column("doc_id").to_numpy()
-        order = np.argsort(doc, kind="stable")
-        doc = doc[order]
-        tf = tbl.column("tf").to_numpy().astype(np.int64)[order]
-        dl = tbl.column("dl").to_numpy().astype(np.int64)[order]
-        return pa.table(
-            {
-                "term": [tbl.column("term")[0].as_py()],
-                "salt": pa.array([tbl.column("salt")[0].as_py()], type=pa.int32()),
-                "df": pa.array([doc.size], type=pa.int64()),
-                "sum_tf": pa.array([int(tf.sum())], type=pa.int64()),
-                "doc_ids": pa.array([delta_encode_doc_ids(doc)], type=pa.binary()),
-                "tfs": pa.array([varint_encode(tf.astype(np.uint64))], type=pa.binary()),
-                "dls": pa.array([varint_encode(dl.astype(np.uint64))], type=pa.binary()),
-            },
-            schema=RUN_SCHEMA,
-        )
-
-    return encode_run
-
-
 def _merge_run_rows(rows: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode + concat + doc-sort a term's runs (runs hold disjoint doc
     sets by construction — one batch owns a doc — but arrive in any
@@ -295,24 +269,3 @@ def make_merge_runs_partial():
         )
 
     return merge_runs_partial
-
-
-def make_encode_term_group(block_size: int = 128):
-    """Single-level map_groups fn over groupby("term"): used when the
-    group's doc count is within one salt range (no skew risk), skipping
-    the merge level entirely."""
-
-    def encode_term_group(tbl: pa.Table) -> pa.Table:
-        doc = tbl.column("doc_id").to_numpy()
-        order = np.argsort(doc, kind="stable")
-        return _segment_row_table(
-            encode_postings(
-                tbl.column("term")[0].as_py(),
-                doc[order],
-                tbl.column("tf").to_numpy().astype(np.int64)[order],
-                tbl.column("dl").to_numpy().astype(np.int64)[order],
-                block_size,
-            )
-        )
-
-    return encode_term_group

@@ -1,18 +1,15 @@
-"""Stateful tokenizer stage: actor-pool map_batches producing exploded
-postings rows.
+"""Stateful tokenizer stages (actor-pool map_batches).
 
 One actor = one compiled regex + stopword frozenset + shared LRU stem
 cache (the reference stems the unique vocab once per corpus,
 /root/reference/utils/__init__.py:104-126; the process-wide cache on
 porter2.stem gives the same unique-token-once economy across batches).
-Input batch: transcripts with doc_id.  Output batch: one row per
-(doc, unique term): term:string, doc_id:int64, tf:int32, dl:int32,
-salt:int32.
 
-dl (post-filter token count) is replicated onto every posting row so
-segment encoding never needs a doc-length lookup table; salt =
-doc_id // salt_range is emitted here so the downstream groupby key is
-ready without another pass.
+Two output shapes:
+- :class:`TokenizePostings` — exploded rows, one per (doc, unique
+  term): the postings-table operator (driver oracle `tokenize_tf`).
+- :class:`TokenizeRuns` — the index build's map-side combiner: one
+  pre-encoded compressed run per (term, batch).
 """
 
 from __future__ import annotations
@@ -199,28 +196,4 @@ class TokenizeRuns:
                 "tfs": pa.array(tf_bufs, type=pa.binary()),
                 "dls": pa.array(dl_bufs, type=pa.binary()),
             }
-        )
-
-
-class TokenizeDocLens:
-    """Lightweight variant emitting only (doc_id, dl) — used for corpus
-    stats paths that do not need postings."""
-
-    def __init__(self, config: IndexConfig):
-        self.inner = TokenizePostings(config)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts_col = batch.column("text")
-        if self.inner.lower:
-            texts_col = pc.utf8_lower(texts_col)
-        texts = texts_col.to_pylist()
-        findall, stopwords = self.inner.findall, self.inner.stopwords
-        dls = np.empty(len(texts), dtype=np.int32)
-        for i, text in enumerate(texts):
-            toks = findall(text)
-            if stopwords:
-                toks = [t for t in toks if t not in stopwords]
-            dls[i] = len(toks)
-        return pa.table(
-            {"doc_id": batch.column("doc_id"), "dl": pa.array(dls)}
         )

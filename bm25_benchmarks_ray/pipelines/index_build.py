@@ -8,7 +8,7 @@ tokenize → index.  Here each step is a streaming Ray Data stage:
       → [transcripts] assign doc_id (broadcast conv offsets)
       → map_batches(TokenizeRuns, fixed actor pool)   # map-side combine:
                                                       #   one compressed run per (term, batch)
-      → repartition(3×CPUs)                           # coalesce before shuffle
+      → (read sized to 3×CPU blocks: override_num_blocks — no repartition barrier)
       → [extreme skew] groupby(term, salt) pre-merge  # salted hierarchical level
       → groupby(term) → merge runs → segment rows     # the wide shuffle
       → write_parquet(segments/group=K)               # resumable partition
@@ -114,6 +114,18 @@ def _tokenize_concurrency(cfg: IndexConfig) -> int | tuple[int, int]:
     return max(2, cpus - 2)
 
 
+def _shuffle_partitions(cfg: IndexConfig) -> int:
+    """Shuffle width: 3× CPUs — enough partitions that one heavy
+    term-range (hot terms cost ~ postings, not rows) can't straggle the
+    merge wave.  This is applied at the READ (override_num_blocks), not
+    via a repartition op: an explicit Repartition is an all-to-all
+    barrier that measured 2× the whole build's wall at sf8."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return cfg.shuffle_partitions or 3 * cpus
+
+
 def _build_group_segments(
     ds: rd.Dataset, cfg: IndexConfig, out_dir: str, two_level: bool
 ) -> None:
@@ -130,13 +142,6 @@ def _build_group_segments(
         batch_size=cfg.tokenize_batch_size,
         concurrency=_tokenize_concurrency(cfg),
     )
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    # 3x CPUs: enough partitions that one heavy term-range (hot terms
-    # cost ~ postings, not rows) can't straggle the merge wave
-    nparts = cfg.shuffle_partitions or 3 * cpus
-    runs = runs.repartition(nparts)
     if two_level:
         runs = runs.groupby(["term", "salt"]).map_groups(
             make_merge_runs_partial(), batch_format="pyarrow"
@@ -223,11 +228,17 @@ def build_index(
         t0 = time.perf_counter()
         g_files = [files[i] for i in file_idx]
         g_rows = sum(rows[i] for i in file_idx)
+        nblocks = min(_shuffle_partitions(cfg), max(1, g_rows // 1000))
         if mode == "transcripts":
-            ds = rd.read_parquet(g_files, columns=["conv_id", "turn_idx", "text"])
+            ds = rd.read_parquet(
+                g_files, columns=["conv_id", "turn_idx", "text"],
+                override_num_blocks=nblocks,
+            )
             ds = assign_doc_ids(ds, offsets)
         else:
-            ds = rd.read_parquet(g_files, columns=["doc_id", "text"])
+            ds = rd.read_parquet(
+                g_files, columns=["doc_id", "text"], override_num_blocks=nblocks
+            )
         # the salted pre-merge only pays once a single term's postings
         # within a group could swamp one reduce task; with the combiner
         # + ~4M-doc groups that needs an extreme salt_range/group ratio

@@ -435,9 +435,17 @@ contrib AS (
   CROSS JOIN stats
   GROUP BY q.qid, tf.doc_id
 ),
+qs AS (SELECT DISTINCT qid FROM qterms),
+-- dense-vector semantics (the reference ranks a score over ALL docs,
+-- on_rank_bm25.py:29-33): unmatched docs score exactly the query
+-- constant; with robertson's negative idf they outrank matched docs
 scored AS (
-  SELECT c.qid, c.doc_id, round(c.s + qc.c, 6) AS score
-  FROM contrib c JOIN qconst qc ON qc.qid = c.qid
+  SELECT x.qid, d.doc_id,
+         round(coalesce(c.s, 0.0) + coalesce(qc.c, 0.0), 6) AS score
+  FROM qs x
+  CROSS JOIN documents d
+  LEFT JOIN contrib c ON c.qid = x.qid AND c.doc_id = d.doc_id
+  LEFT JOIN qconst qc ON qc.qid = x.qid
 ),
 ranked AS (
   SELECT qid, doc_id, score,
@@ -476,10 +484,12 @@ WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
 """
 
 EMBED_TOPK_SQL = """
-WITH q AS (SELECT vec_id AS qi, embedding FROM embeddings WHERE vec_id < 5),
+WITH q AS (SELECT vec_id AS qi, CAST(embedding AS DOUBLE[]) AS embedding
+           FROM embeddings WHERE vec_id < 5),
 s AS (
   SELECT q.qi, e.vec_id,
-         round(list_cosine_similarity(q.embedding, e.embedding), 6) AS score
+         round(list_cosine_similarity(q.embedding,
+               CAST(e.embedding AS DOUBLE[])), 6) AS score
   FROM q CROSS JOIN embeddings e
 ),
 r AS (
@@ -492,9 +502,11 @@ SELECT qi, vec_id, rank, score FROM r WHERE rank <= 10
 
 EMBED_PAIRS_SQL = """
 SELECT a.vec_id AS a, b.vec_id AS b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])), 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      CAST(b.embedding AS DOUBLE[])) >= 0.4
 """
 
 LANG_ID_SQL = f"""

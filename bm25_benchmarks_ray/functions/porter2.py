@@ -148,7 +148,6 @@ def _ends_short_syllable(word: str) -> bool:
             and c2 not in _VOWELS
             and c2 not in "wxY"
             and c1 not in _VOWELS
-            and c1 != "Y"
         )
     return False
 

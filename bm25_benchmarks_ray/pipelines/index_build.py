@@ -100,6 +100,74 @@ def _plan_groups(files: list[str], rows: list[int], n_groups: int | None) -> lis
     return [grp for grp in groups if grp]
 
 
+def _inventory_hash(files: list[str], rows: list[int]) -> str:
+    """Identity of the input file set: names + row counts.  Part of the
+    resume validation — a complete index over different inputs must not
+    be silently returned."""
+    import hashlib
+
+    payload = ";".join(f"{os.path.basename(f)}:{r}" for f, r in zip(files, rows))
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _group_doc_range(
+    g_files: list[str],
+    g_rows: int,
+    mode: str,
+    offsets: pd.DataFrame | None,
+) -> tuple[int, int] | None:
+    """Exact [doc_lo, doc_hi) for a group when its docs form a contiguous
+    id range, else None (query falls back to global-slice scoring).
+
+    Contiguous per-group ranges are what make the doc-partitioned query
+    scatter exact for dense-id padding: a slice task that knows its own
+    [lo, hi) can enumerate its *unmatched* docs (they score exactly the
+    query constant in the reference's dense-vector semantics) without any
+    global state.  documents mode reads parquet column statistics (no
+    data IO); transcripts mode does one narrow (conv_id, turn_idx) pass
+    per group — a small fraction of the tokenize read that follows."""
+    if mode == "documents":
+        lo, hi = None, None
+        for f in g_files:
+            md = pq.ParquetFile(f).metadata
+            try:
+                ci = [md.schema.column(i).name for i in range(md.num_columns)].index(
+                    "doc_id"
+                )
+            except ValueError:
+                return None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or st.min is None:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            return None
+        return (int(lo), int(hi) + 1) if int(hi) + 1 - int(lo) == g_rows else None
+    # transcripts: doc_id = base[conv] + turn rank
+    from ..stages.docids import offsets_are_dense
+
+    if offsets is None or not offsets_are_dense(offsets):
+        return None
+    if g_rows <= DRIVER_SIDE_ROWS:
+        t = pads.dataset(g_files).to_table(columns=["conv_id", "turn_idx"])
+        conv = t.column("conv_id").to_pandas()
+        base = conv.map(
+            dict(zip(offsets["conv_id"], offsets["base"].astype(np.int64)))
+        ).to_numpy(dtype=np.int64)
+        doc = base + t.column("turn_idx").to_numpy().astype(np.int64)
+        lo, hi = int(doc.min()), int(doc.max()) + 1
+    else:
+        from ray.data.aggregate import Max, Min
+
+        ds = rd.read_parquet(g_files, columns=["conv_id", "turn_idx"])
+        ds = assign_doc_ids(ds, offsets)
+        agg = ds.aggregate(Min("doc_id"), Max("doc_id"))
+        lo, hi = int(agg["min(doc_id)"]), int(agg["max(doc_id)"]) + 1
+    return (lo, hi) if hi - lo == g_rows else None
+
+
 def _tokenize_concurrency(cfg: IndexConfig) -> int | tuple[int, int]:
     """Actor-pool size for the tokenizer: FIXED at cluster CPUs minus
     two unless pinned in config.  Fixed beats autoscale 2x here — the
@@ -111,7 +179,10 @@ def _tokenize_concurrency(cfg: IndexConfig) -> int | tuple[int, int]:
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return max(2, cpus - 2)
+    # never the full cluster width: a full-width fixed pool starves the
+    # downstream shuffle/write operators and stalls the pipeline (seen
+    # hang indefinitely at num_cpus=2 with a width-2 pool)
+    return max(1, cpus - 2)
 
 
 def _shuffle_partitions(cfg: IndexConfig) -> int:
@@ -189,18 +260,43 @@ def build_index(
         raise ValueError(f"no parquet files at {source!r}")
     rows = _file_rows(files)
 
+    inventory = _inventory_hash(files, rows)
     man = None if fresh else Manifest.load(index_dir)
     if man is not None and man.fingerprint != cfg.fingerprint():
         man = None  # config changed: rebuild
+    if man is not None and man.inventory and man.inventory != inventory:
+        man = None  # input files changed: a "complete" index would be stale
     if man is None:
         if os.path.exists(index_dir):
             shutil.rmtree(index_dir)
-        man = Manifest(index_dir, config=cfg.to_dict(), fingerprint=cfg.fingerprint())
+        man = Manifest(
+            index_dir, config=cfg.to_dict(), fingerprint=cfg.fingerprint(),
+            inventory=inventory,
+        )
     if man.is_complete():
         return man
 
     groups = _plan_groups(files, rows, n_groups)
     man.n_groups = len(groups)
+    man.inventory = inventory
+    # crash-resume with a changed file set: drop done groups whose
+    # recorded lineage no longer matches the new plan
+    for gid, file_idx in enumerate(groups):
+        entry = man.groups.get(str(gid))
+        if entry is None or entry.get("status") != "done":
+            continue
+        planned = [os.path.basename(files[i]) for i in file_idx]
+        if entry.get("input_files") != planned or entry.get("n_docs") != sum(
+            rows[i] for i in file_idx
+        ):
+            del man.groups[str(gid)]
+            g_dir = os.path.join(index_dir, SEGMENTS_DIR, f"group={gid}")
+            if os.path.exists(g_dir):
+                shutil.rmtree(g_dir)
+            man.stages.pop("finalize", None)
+    for gid in [g for g in man.groups if int(g) >= len(groups)]:
+        del man.groups[gid]
+        man.stages.pop("finalize", None)
     man.save()
 
     # -- stage: conv offsets (transcripts only; tiny table, one pass
@@ -246,10 +342,13 @@ def build_index(
         g_dir = os.path.join(index_dir, SEGMENTS_DIR, f"group={gid}")
         _build_group_segments(ds, cfg, g_dir, two_level)
         metrics = _group_metrics(g_dir)
+        rng = _group_doc_range(g_files, g_rows, mode, offsets)
         man.mark_group(
             gid,
             input_files=[os.path.basename(f) for f in g_files],
             n_docs=g_rows,
+            doc_lo=rng[0] if rng else None,
+            doc_hi=rng[1] if rng else None,
             two_level=two_level,
             wall_s=round(time.perf_counter() - t0, 3),
             **metrics,

@@ -22,10 +22,19 @@ single-process ``model.retrieve`` cannot express,
    argpartition tie order is unspecified, on_rank_bm25.py:32).
 
 Rank-identicality corner: the reference ranks a dense score vector over
-*all* docs, so when fewer than k docs match, the tail is zero/shift-
-scored docs in doc_id order.  With dense doc_id spaces (transcripts
-numbering; the test documents table) the merge step reproduces that by
-padding from the lowest unmatched doc_ids at score == query_constant.
+*all* docs, so every UNMATCHED doc scores exactly the query constant
+(0 for lucene/atire/robertson; the delta-driven shift for bm25l/+).
+Unmatched docs therefore participate in the ranking by score — with
+robertson's negative idf (df > N/2) matched docs can score BELOW the
+query constant, in which case unmatched docs outrank them.  Each slice
+task knows its exact doc range (per-group [doc_lo, doc_hi) recorded in
+the manifest at build time), so it merges its k lowest unmatched doc
+ids at score == qconst into its local top-k; the global merge then
+ranks all partials uniformly by (score desc, doc_id asc).  For queries
+whose in-group weights are all positive this padding is skipped
+whenever k matched docs exist (they strictly beat qconst).  Indexes
+whose groups lack contiguous doc ranges fall back to merge-side
+append-padding (exact only for non-negative-idf scoring).
 """
 
 from __future__ import annotations
@@ -129,6 +138,38 @@ _EMPTY_PARTIALS = pa.table(
 )
 
 
+def _topk_ties(doc: np.ndarray, score: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Tie-safe top-k by (score desc, doc_id asc): threshold-prefilter
+    (O(n)) keeps every row that can make the cut — including all rows
+    tied at the kth score — then a lexsort of just the survivors."""
+    if doc.size > k:
+        thr = np.partition(score, doc.size - k)[doc.size - k]
+        keep = score >= thr
+        doc, score = doc[keep], score[keep]
+    sel = np.lexsort((doc, -score))[:k]
+    return doc[sel], score[sel]
+
+
+def _lowest_unmatched(matched: np.ndarray, lo: int, hi: int, k: int) -> np.ndarray:
+    """First k doc ids in [lo, hi) absent from sorted-unique ``matched``
+    (all assumed within [lo, hi)).  Walks the ≤k+1 leading gap runs."""
+    if k <= 0 or hi <= lo:
+        return np.empty(0, dtype=np.int64)
+    starts = np.concatenate(([lo], matched.astype(np.int64) + 1))
+    ends = np.concatenate((matched.astype(np.int64), [hi]))
+    out: list[np.ndarray] = []
+    got = 0
+    for s, e in zip(starts, ends):
+        if e <= s:
+            continue
+        take = min(int(e - s), k - got)
+        out.append(np.arange(s, s + take, dtype=np.int64))
+        got += take
+        if got >= k:
+            break
+    return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+
+
 def make_score_slice(
     plan_ref,
     params: BM25Params,
@@ -136,6 +177,7 @@ def make_score_slice(
     k: int,
     block_size: int,
     prune: bool = False,
+    dense_pad: bool = False,
 ):
     """Task fn scoring all queries against one (group, doc-range) slice.
 
@@ -146,21 +188,36 @@ def make_score_slice(
     accumulates exact scores for its docs.  Doc-sliced tasks keep the
     partial-top-k exact (a doc's whole score is computed where it
     lives), and parallelism is n_groups × n_slices regardless of how
-    many groups the build produced.  The duplicated decode across
-    slices of one group is vectorized numpy — cheap relative to the
-    accumulation it parallelizes; search() auto-sizes slices to 1 when
-    there are already more groups than cluster slots.
+    many groups the build produced.
+
+    ``dense_pad`` (set when every group has a contiguous doc range
+    covering exactly this slice's [lo, hi)): unmatched docs score
+    exactly qconst in the dense-vector reference semantics, so the
+    slice merges its k lowest unmatched ids at qconst into its local
+    top-k.  Skipped when k matched docs exist with strictly-positive
+    weights (they strictly beat qconst, so no slice anywhere pads).
+    Queries with a negative-idf term (robertson, df > N/2) are scored
+    exhaustively within the slice — full matched set known — so the
+    padding merge stays exact (pruning could otherwise drop a matched
+    doc that the pad would then mislabel as unmatched-at-qconst).
     """
     s0 = nonoccurrence_shape(params)
 
     def score_slice(batch: pa.Table) -> pa.Table:
+        from ..stages.blockmax import score_query_pruned
         from ..stages.segments import decode_segment
 
         plan = ray.get(plan_ref)
         out_qi: list[np.ndarray] = []
         out_doc: list[np.ndarray] = []
         out_score: list[np.ndarray] = []
-        n_q = len(plan["qids"])
+
+        def emit(qi: int, doc: np.ndarray, score: np.ndarray) -> None:
+            if doc.size:
+                out_qi.append(np.full(doc.size, qi, dtype=np.int32))
+                out_doc.append(doc)
+                out_score.append(score)
+
         for group_dir, lo, hi, q_lo, q_hi in zip(
             batch.column("group_dir").to_pylist(),
             batch.column("lo").to_pylist(),
@@ -175,58 +232,92 @@ def make_score_slice(
                     if any(q_lo <= qi < q_hi for qi, _ in fl)
                 }
             )
-            if not terms_here:
-                continue
-            seg = pads.dataset(group_dir).to_table(
-                filter=pc.field("term").isin(terms_here)
-            )
-            if prune:
-                from ..stages.blockmax import score_query_pruned
-
+            rows_by_term: dict[str, dict] = {}
+            if terms_here:
+                seg = pads.dataset(group_dir).to_table(
+                    filter=pc.field("term").isin(terms_here)
+                )
                 rows_by_term = {r["term"]: r for r in seg.to_pylist()}
-                q_terms: dict[int, list] = {}
-                q_weights: dict[int, list[float]] = {}
-                for term, fanout in plan["term_fanout"].items():
-                    row = rows_by_term.get(term)
-                    if row is None:
-                        continue
-                    for qi, w_idf in fanout:
-                        if q_lo <= qi < q_hi:
-                            q_terms.setdefault(qi, []).append(row)
-                            q_weights.setdefault(qi, []).append(w_idf)
-                for qi, rows in q_terms.items():
-                    doc, score = score_query_pruned(
-                        rows, q_weights[qi], params, avgdl, k,
-                        block_size, lo, hi, float(plan["qconst"][qi]),
-                    )
-                    if doc.size:
-                        out_qi.append(np.full(doc.size, qi, dtype=np.int32))
-                        out_doc.append(doc)
-                        out_score.append(score)
+            if not rows_by_term and not dense_pad:
                 continue
-            docs_by_q: dict[int, list[np.ndarray]] = {}
-            vals_by_q: dict[int, list[np.ndarray]] = {}
-            for row in seg.to_pylist():
-                doc, tf, dl = decode_segment(row, block_size, lo, hi)
-                if doc.size == 0:
+            q_terms: dict[int, list] = {}
+            q_weights: dict[int, list[float]] = {}
+            for term, fanout in plan["term_fanout"].items():
+                row = rows_by_term.get(term)
+                if row is None:
                     continue
-                base = tf_shape(params, tf, dl, avgdl) - s0
-                for qi, w_idf in plan["term_fanout"][row["term"]]:
+                for qi, w_idf in fanout:
                     if q_lo <= qi < q_hi:
-                        docs_by_q.setdefault(qi, []).append(doc)
-                        vals_by_q.setdefault(qi, []).append(w_idf * base)
-            for qi in docs_by_q:
-                doc = np.concatenate(docs_by_q[qi])
-                val = np.concatenate(vals_by_q[qi])
-                uniq, inv = np.unique(doc, return_inverse=True)
-                sums = np.bincount(inv, weights=val) + plan["qconst"][qi]
-                if uniq.size > k:
-                    part = np.argpartition(-sums, k - 1)[:k]
+                        q_terms.setdefault(qi, []).append(row)
+                        q_weights.setdefault(qi, []).append(w_idf)
+
+            # decoded (doc, tf_shape - s0) per term, shared across queries
+            decode_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+            def decoded(row: dict) -> tuple[np.ndarray, np.ndarray]:
+                term = row["term"]
+                hit = decode_cache.get(term)
+                if hit is None:
+                    doc, tf, dl = decode_segment(row, block_size, lo, hi)
+                    base = (
+                        tf_shape(params, tf, dl, avgdl) - s0
+                        if doc.size
+                        else np.empty(0, dtype=np.float64)
+                    )
+                    hit = decode_cache[term] = (doc, base)
+                return hit
+
+            for qi in range(q_lo, q_hi):
+                rows = q_terms.get(qi)
+                ws = q_weights.get(qi, [])
+                qc = float(plan["qconst"][qi])
+                # strict positivity: a w == 0 term (atire idf at df == N)
+                # can leave matched docs tied AT qconst, where unmatched
+                # lower ids win — those queries go exhaustive too
+                if rows and prune and all(w > 0 for w in ws):
+                    doc, score = score_query_pruned(
+                        rows, ws, params, avgdl, k, block_size, lo, hi, qc
+                    )
+                    if doc.size >= k:
+                        # k matched at strictly > qconst: padding can
+                        # never be needed for this query globally
+                        emit(qi, doc, score)
+                        continue
+                    matched, m_score = doc, score  # <k ⇒ never pruned ⇒ full set
+                elif rows:
+                    # exhaustive accumulation (exhaustive mode, or a
+                    # negative-weight query): full matched set
+                    parts_d, parts_v = [], []
+                    for row, w in zip(rows, ws):
+                        d, base = decoded(row)
+                        if d.size:
+                            parts_d.append(d)
+                            parts_v.append(w * base)
+                    if parts_d:
+                        alld = np.concatenate(parts_d)
+                        uniq, inv = np.unique(alld, return_inverse=True)
+                        sums = np.bincount(inv, weights=np.concatenate(parts_v)) + qc
+                        matched, m_score = uniq, sums
+                    else:
+                        matched = np.empty(0, dtype=np.int64)
+                        m_score = np.empty(0, dtype=np.float64)
                 else:
-                    part = np.arange(uniq.size)
-                out_qi.append(np.full(part.size, qi, dtype=np.int32))
-                out_doc.append(uniq[part])
-                out_score.append(sums[part])
+                    if not dense_pad:
+                        continue
+                    matched = np.empty(0, dtype=np.int64)
+                    m_score = np.empty(0, dtype=np.float64)
+                t_doc, t_score = _topk_ties(matched, m_score, k)
+                if dense_pad:
+                    pad = _lowest_unmatched(matched, lo, hi, k)
+                    if pad.size:
+                        t_doc, t_score = _topk_ties(
+                            np.concatenate([t_doc, pad]),
+                            np.concatenate(
+                                [t_score, np.full(pad.size, qc, dtype=np.float64)]
+                            ),
+                            k,
+                        )
+                emit(qi, t_doc, t_score)
         if not out_qi:
             return _EMPTY_PARTIALS
         return pa.table(
@@ -240,7 +331,7 @@ def make_score_slice(
     return score_slice
 
 
-def make_merge_topk(plan_ref, k: int, num_docs: int, dense_ids: bool):
+def make_merge_topk(plan_ref, k: int, num_docs: int, legacy_pad: bool):
     """groupby(qi) merge of disjoint per-group partials → final top-k,
     with dense-doc_id zero-match padding (module docstring)."""
 
@@ -251,7 +342,7 @@ def make_merge_topk(plan_ref, k: int, num_docs: int, dense_ids: bool):
         score = tbl.column("score").to_numpy()
         order = np.lexsort((doc, -score))[:k]
         doc, score = doc[order], score[order]
-        if doc.size < k and dense_ids and num_docs > doc.size:
+        if doc.size < k and legacy_pad and num_docs > doc.size:
             have = set(doc.tolist())
             pad = [d for d in range(min(num_docs, k + len(have))) if d not in have]
             pad = pad[: k - doc.size]
@@ -282,7 +373,7 @@ def _collect_arrow(ds: rd.Dataset) -> pa.Table:
 
 
 def _merge_partials_local(
-    tbl: pa.Table, plan: dict, k: int, num_docs: int, dense_ids: bool
+    tbl: pa.Table, plan: dict, k: int, num_docs: int, legacy_pad: bool
 ) -> pa.Table:
     """Vectorized driver-side merge: per-group partials hold disjoint
     docs, so the merge is a lexsort + per-qid head(k) + padding."""
@@ -310,7 +401,7 @@ def _merge_partials_local(
     for s, e in zip(starts, ends):
         q = int(qi[s])
         d, sc = doc[s:e][:k], score[s:e][:k]
-        if d.size < k and dense_ids and num_docs > d.size:
+        if d.size < k and legacy_pad and num_docs > d.size:
             have = set(d.tolist())
             pad = [x for x in range(min(num_docs, k + len(have))) if x not in have]
             pad = pad[: k - d.size]
@@ -343,11 +434,11 @@ def _merge_partials_local(
     )
 
 
-def _empty_query_results(plan: dict, k: int, num_docs: int, dense_ids: bool) -> pa.Table:
+def _empty_query_results(plan: dict, k: int, num_docs: int, legacy_pad: bool) -> pa.Table:
     """Final rows for queries with zero scored candidates anywhere (all
     tokens unseen/stopworded): dense-id padding at score 0."""
     qids, docs, ranks, scores = [], [], [], []
-    if dense_ids:
+    if legacy_pad:
         pad = list(range(min(k, num_docs)))
         for qi, qid in enumerate(plan["qids"]):
             if plan["term_fanout"] and any(
@@ -411,6 +502,23 @@ def search(
             raise ValueError(f"groups not in index: {sorted(missing)}")
         gids = sorted(groups)
         dense_ids = False  # partial doc space: no zero-score padding
+
+    # Per-group contiguous doc ranges (recorded at build time) make the
+    # scatter exact for dense-id padding AND confine each group's slices
+    # to its own doc range (no empty cross-range tasks).
+    ranges: dict[int, tuple[int, int]] = {}
+    for g in gids:
+        e = man.groups[str(g)]
+        if e.get("doc_lo") is None or e.get("doc_hi") is None:
+            ranges = {}
+            break
+        ranges[g] = (int(e["doc_lo"]), int(e["doc_hi"]))
+    if ranges:
+        spans = sorted(ranges.values())
+        if any(b[0] < a[1] for a, b in zip(spans, spans[1:])):
+            ranges = {}  # overlapping groups: ranges unusable
+    dense_pad = dense_ids and bool(ranges)
+
     target_tasks = 32
     if ray.is_initialized():
         target_tasks = max(8, int(ray.cluster_resources().get("CPU", 32)))
@@ -423,22 +531,27 @@ def search(
     n_qbatch = min(per_group, max(1, n_q // 16))
     n_slices = max(1, -(-per_group // n_qbatch))
     q_bounds = np.linspace(0, n_q, n_qbatch + 1).astype(np.int64)
-    bounds = np.linspace(0, num_docs, n_slices + 1).astype(np.int64)
-    scatter = [
-        {
-            "group_dir": os.path.join(index_dir, SEGMENTS_DIR, f"group={g}"),
-            "lo": int(bounds[s]),
-            "hi": int(bounds[s + 1]) if s + 1 < n_slices else np.iinfo(np.int64).max,
-            "q_lo": int(q_bounds[qb]),
-            "q_hi": int(q_bounds[qb + 1]),
-        }
-        for g in gids
-        for qb in range(n_qbatch)
-        for s in range(n_slices)
-    ]
+    scatter = []
+    for g in gids:
+        g_lo, g_hi = ranges.get(g, (0, num_docs))
+        bounds = np.linspace(g_lo, g_hi, n_slices + 1).astype(np.int64)
+        if not ranges:
+            bounds[-1] = np.iinfo(np.int64).max  # unknown range: open tail
+        scatter += [
+            {
+                "group_dir": os.path.join(index_dir, SEGMENTS_DIR, f"group={g}"),
+                "lo": int(bounds[s]),
+                "hi": int(bounds[s + 1]),
+                "q_lo": int(q_bounds[qb]),
+                "q_hi": int(q_bounds[qb + 1]),
+            }
+            for qb in range(n_qbatch)
+            for s in range(n_slices)
+        ]
     partials = rd.from_items(scatter).map_batches(
         make_score_slice(
-            plan_ref, params, avgdl, k, cfg.block_size, prune=(mode == "pruned")
+            plan_ref, params, avgdl, k, cfg.block_size,
+            prune=(mode == "pruned"), dense_pad=dense_pad,
         ),
         batch_format="pyarrow",
         batch_size=1,
@@ -448,11 +561,16 @@ def search(
     # merge runs driver-side (vectorized numpy) — a sort-based Ray
     # shuffle costs seconds of fixed latency for kilobytes of data.  The
     # distributed groupby path stays for genuinely huge query batches.
+    # dense_pad: slices already merged padding by score — the global
+    # merge is a plain tie-normalized top-k.  legacy_pad (index without
+    # contiguous group ranges): merge-side append-padding, exact only
+    # for non-negative-idf scoring.
+    legacy_pad = dense_ids and not dense_pad
     n_partial_est = len(plan["qids"]) * k * len(scatter)
     if n_partial_est <= 5_000_000:
         tbl = _collect_arrow(partials)
-        merged_tbl = _merge_partials_local(tbl, plan, k, num_docs, dense_ids)
-        extra = _empty_query_results(plan, k, num_docs, dense_ids)
+        merged_tbl = _merge_partials_local(tbl, plan, k, num_docs, legacy_pad)
+        extra = _empty_query_results(plan, k, num_docs, legacy_pad)
         if extra.num_rows:
             merged_tbl = pa.concat_tables([merged_tbl, extra])
         if join_back:
@@ -467,9 +585,9 @@ def search(
         return rd.from_arrow(merged_tbl)
 
     merged = partials.groupby("qi").map_groups(
-        make_merge_topk(plan_ref, k, num_docs, dense_ids), batch_format="pyarrow"
+        make_merge_topk(plan_ref, k, num_docs, legacy_pad), batch_format="pyarrow"
     )
-    extra = _empty_query_results(plan, k, num_docs, dense_ids)
+    extra = _empty_query_results(plan, k, num_docs, legacy_pad)
     if extra.num_rows:
         merged = merged.union(rd.from_arrow(extra))
 

@@ -27,11 +27,26 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _row_norms(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return n
+
+
+def _cosine_matrix(m: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """cos(m_i, q_j) as dot/(|m_i|·|q_j|), all float64 — the exact
+    association DuckDB's list_cosine_similarity uses on DOUBLE[] input,
+    so scores are bit-identical to the SQL oracle."""
+    return (m @ q.T) / (_row_norms(m)[:, None] * _row_norms(q)[None, :])
+
+
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    # float64 throughout: float32 matmuls diverge from the float64 SQL
+    # oracle in the 7th decimal, flipping 6-decimal rounded scores.
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    return np.asarray(arr.to_pylist(), dtype=np.float32)
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
 
 
 def cosine_topk(
@@ -45,14 +60,14 @@ def cosine_topk(
 
     Returns (qi, vec_id, rank, score); deterministic ties broken by
     vec_id asc on the 6-decimal-rounded score."""
-    q = _normalize(np.asarray(query_vecs, dtype=np.float32))
+    q = np.asarray(query_vecs, dtype=np.float64)
     q_ref = ray.put(q)
 
     def partial(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
-        m = _normalize(_batch_matrix(batch, vec_col))
+        m = _batch_matrix(batch, vec_col)
         ids = batch.column(id_col).to_numpy()
-        sims = m @ qm.T  # (rows, Q)
+        sims = _cosine_matrix(m, qm)  # (rows, Q)
         rows = min(k, ids.size)
         out_qi, out_id, out_s = [], [], []
         for qi in range(qm.shape[0]):
@@ -109,7 +124,7 @@ def fit_centroids(
     IVF coarse quantizer fit: sample fits in memory at any corpus scale
     because it is a fixed-size sample)."""
     samp = ds.limit(sample).to_pandas()
-    m = _normalize(np.asarray(list(samp[vec_col]), dtype=np.float32))
+    m = _normalize(np.asarray(list(samp[vec_col]), dtype=np.float64))
     rng = np.random.RandomState(seed)
     c = m[rng.choice(m.shape[0], size=min(n_centroids, m.shape[0]), replace=False)]
     for _ in range(iters):
@@ -134,7 +149,7 @@ def ivf_topk(
     """Approximate cosine top-k: search only the nprobe nearest
     centroid buckets per query.  Same output schema as cosine_topk."""
     cents = fit_centroids(ds, n_centroids=n_centroids, vec_col=vec_col)
-    q = _normalize(np.asarray(query_vecs, dtype=np.float32))
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
     probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     q_ref = ray.put((q, cents, probes))
 
@@ -197,47 +212,63 @@ def ivf_topk(
     )
 
 
+_EMPTY_PAIRS = pa.table(
+    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+     "cosine": pa.array([], pa.float64())}
+)
+
+
 def cosine_pairs(
     ds: rd.Dataset,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> rd.Dataset:
-    """Embedding near-duplicate pairs (a < b, cosine >= threshold) via
-    broadcast right side.
+    """Embedding near-duplicate pairs (a < b, cosine >= threshold),
+    EXACT, via a block cross-product.
 
-    The full (normalized) matrix is broadcast once — valid while the
-    corpus embedding matrix fits the object store (~10^7 x 768 f32 =
-    30 GB); past that, the LSH/IVF bucketed variants bound the pair
-    search to same-bucket blocks."""
-    full = ds.to_pandas()
-    ids_all = full[id_col].to_numpy()
-    m_all = _normalize(np.asarray(list(full[vec_col]), dtype=np.float32))
-    ref = ray.put((ids_all, m_all))
+    The dataset is materialized once into the (distributed) object
+    store; every task fetches two blocks zero-copy and emits its block
+    pair's thresholded pairs — the driver holds only object refs, never
+    vectors.  Exact all-pairs is inherently O(N²) flops; this is the
+    oracle-matching exact path, and the minhash/simhash/IVF operators
+    are the sub-quadratic approximate paths for corpus-scale near-dup."""
+    refs = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    nb = len(refs)
+    if nb == 0:
+        return rd.from_arrow(_EMPTY_PAIRS)
+    tasks = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
 
     def f(batch: pa.Table) -> pa.Table:
-        ids_r, m_r = ray.get(ref)
-        m = _normalize(_batch_matrix(batch, vec_col))
-        ids = batch.column(id_col).to_numpy()
-        sims = m @ m_r.T
-        a_out, b_out, s_out = [], [], []
-        for i in range(ids.size):
-            mask = (sims[i] >= threshold) & (ids_r > ids[i])
-            if mask.any():
-                a_out.append(np.full(mask.sum(), ids[i], dtype=np.int64))
-                b_out.append(ids_r[mask])
-                s_out.append(np.round(sims[i][mask].astype(np.float64), 6))
-        if not a_out:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                 "cosine": pa.array([], pa.float64())}
+        out = []
+        for i, j in zip(batch.column("i").to_pylist(), batch.column("j").to_pylist()):
+            ti = ray.get(refs[i])
+            tj = ti if j == i else ray.get(refs[j])
+            ids_a = ti.column(id_col).to_numpy()
+            ids_b = tj.column(id_col).to_numpy()
+            sims = _cosine_matrix(
+                _batch_matrix(ti, vec_col), _batch_matrix(tj, vec_col)
             )
-        return pa.table(
-            {
-                "a": pa.array(np.concatenate(a_out)),
-                "b": pa.array(np.concatenate(b_out)),
-                "cosine": pa.array(np.concatenate(s_out)),
-            }
-        )
+            if i == j:
+                r, c = np.nonzero(np.triu(sims >= threshold, k=1))
+            else:
+                r, c = np.nonzero(sims >= threshold)
+            if r.size == 0:
+                continue
+            a_ids, b_ids = ids_a[r], ids_b[c]
+            lo = np.minimum(a_ids, b_ids)
+            hi = np.maximum(a_ids, b_ids)
+            out.append(
+                pa.table(
+                    {
+                        "a": pa.array(lo, type=pa.int64()),
+                        "b": pa.array(hi, type=pa.int64()),
+                        "cosine": pa.array(
+                            np.round(sims[r, c], 6), type=pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(out) if out else _EMPTY_PAIRS
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return rd.from_items(tasks).map_batches(f, batch_size=1, batch_format="pyarrow")

@@ -21,7 +21,8 @@ from dataclasses import dataclass, field
 from typing import Any
 
 MANIFEST_NAME = "manifest.json"
-FORMAT_VERSION = 2
+# v3: per-group doc ranges (doc_lo/doc_hi) + input inventory hash
+FORMAT_VERSION = 3
 
 
 @dataclass
@@ -31,6 +32,7 @@ class Manifest:
     fingerprint: str = ""
     params_key: str = ""
     n_groups: int = 0
+    inventory: str = ""                          # hash of (file, rows) inputs
     stages: dict = field(default_factory=dict)   # name -> {"status", ...}
     groups: dict = field(default_factory=dict)   # str(group_id) -> entry
     stats: dict = field(default_factory=dict)    # num_docs, total_len, avgdl
@@ -46,6 +48,7 @@ class Manifest:
             "config": self.config,
             "fingerprint": self.fingerprint,
             "n_groups": self.n_groups,
+            "inventory": self.inventory,
             "stages": self.stages,
             "groups": self.groups,
             "stats": self.stats,
@@ -70,6 +73,7 @@ class Manifest:
             config=d.get("config", {}),
             fingerprint=d.get("fingerprint", ""),
             n_groups=d.get("n_groups", 0),
+            inventory=d.get("inventory", ""),
             stages=d.get("stages", {}),
             groups=d.get("groups", {}),
             stats=d.get("stats", {}),

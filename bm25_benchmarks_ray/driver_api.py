@@ -369,12 +369,20 @@ stats AS (
 )"""
 
 
-def _idf_sql(method: str) -> str:
+def _idf_sql(method: str, epsilon: float = 0.0) -> str:
     n, df = "stats.num_docs", "dfreq.df"
+    raw = f"ln(({n} - {df} + 0.5) / ({df} + 0.5))"
+    # okapi: rank_bm25 BM25Okapi — robertson idf with negatives floored
+    # to epsilon * vocab-wide average idf (negatives included in the avg)
+    floor = (
+        f"({epsilon} * (SELECT avg(ln((s2.num_docs - d2.df + 0.5)"
+        f" / (d2.df + 0.5))) FROM dfreq d2 CROSS JOIN stats s2))"
+    )
     return {
         "lucene": f"ln(1 + ({n} - {df} + 0.5) / ({df} + 0.5))",
         "atire": f"ln({n}::DOUBLE / {df})",
-        "robertson": f"ln(({n} - {df} + 0.5) / ({df} + 0.5))",
+        "robertson": raw,
+        "okapi": f"(CASE WHEN {raw} < 0 THEN {floor} ELSE {raw} END)",
         "bm25l": f"ln(({n} + 1.0) / ({df} + 0.5))",
         "bm25+": f"ln(({n} + 1.0) / {df})",
     }[method]
@@ -382,7 +390,7 @@ def _idf_sql(method: str) -> str:
 
 def _shape_sql(method: str, k1: float, b: float, delta: float) -> str:
     norm = f"(1 - {b} + {b} * dl.dl / stats.avgdl)"
-    if method in ("lucene", "atire", "robertson"):
+    if method in ("lucene", "atire", "robertson", "okapi"):
         return f"(tf.tf * ({k1} + 1.0) / (tf.tf + {k1} * {norm}))"
     if method == "bm25l":
         ctd = f"(tf.tf / {norm})"
@@ -413,7 +421,7 @@ def _query_values_sql() -> str:
 def bm25_topk_sql(method: str, k: int = 10) -> str:
     p = BM25Params(method=method)
     s0 = _s0(method, p.k1, p.delta)
-    idf = _idf_sql(method)
+    idf = _idf_sql(method, p.epsilon)
     shape = _shape_sql(method, p.k1, p.b, p.delta)
     return f"""
 WITH {TOKENS_CTE},
@@ -587,6 +595,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk_robertson": bm25_topk_sql("robertson"),
     "bm25_topk_bm25l": bm25_topk_sql("bm25l"),
     "bm25_topk_bm25plus": bm25_topk_sql("bm25+"),
+    "bm25_topk_okapi": bm25_topk_sql("okapi"),
     "dedup_exact": DEDUP_EXACT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "embed_cosine_topk": EMBED_TOPK_SQL,
@@ -617,6 +626,7 @@ def build_queries() -> dict:
         ("bm25_topk_robertson", "robertson"),
         ("bm25_topk_bm25l", "bm25l"),
         ("bm25_topk_bm25plus", "bm25+"),
+        ("bm25_topk_okapi", "okapi"),
     ]:
         q[name] = (lambda m: lambda sf_dir: q_bm25_topk(sf_dir, m))(method)
     q.update(

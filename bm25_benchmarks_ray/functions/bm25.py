@@ -40,33 +40,59 @@ from dataclasses import dataclass
 
 import numpy as np
 
-METHODS = ("lucene", "atire", "robertson", "bm25l", "bm25+")
+METHODS = ("lucene", "atire", "robertson", "bm25l", "bm25+", "okapi")
 
 
 @dataclass(frozen=True)
 class BM25Params:
     """Scoring configuration (reference defaults k1=1.5 b=0.75 delta=0.5,
-    /root/reference/benchmark/on_bm25s.py:291-297)."""
+    /root/reference/benchmark/on_bm25s.py:291-297; the rank-bm25 harness
+    runs BM25Okapi with epsilon=0.0, on_rank_bm25.py:119-122)."""
 
     method: str = "lucene"
     k1: float = 1.5
     b: float = 0.75
     delta: float = 0.5
+    epsilon: float = 0.0  # okapi only: negative-idf floor = eps * avg_idf
 
     def __post_init__(self):
         if self.method not in METHODS:
             raise ValueError(f"unknown BM25 method {self.method!r}; choose from {METHODS}")
 
     def key(self) -> str:
-        return f"{self.method}_k1={self.k1}_b={self.b}_delta={self.delta}"
+        base = f"{self.method}_k1={self.k1}_b={self.b}_delta={self.delta}"
+        return base + (f"_eps={self.epsilon}" if self.method == "okapi" else "")
 
 
-def idf(params: BM25Params, df: np.ndarray | float, n_docs: int) -> np.ndarray | float:
-    """Per-term inverse document frequency for each variant (SURVEY §2.6)."""
+def avg_robertson_idf(dfs: np.ndarray, n_docs: int) -> float:
+    """Mean robertson idf over the whole vocab — the base of BM25Okapi's
+    epsilon floor (negatives included in the mean, as rank_bm25 does)."""
+    dfs = np.asarray(dfs, dtype=np.float64)
+    if dfs.size == 0:
+        return 0.0
+    return float(np.mean(np.log((n_docs - dfs + 0.5) / (dfs + 0.5))))
+
+
+def idf(
+    params: BM25Params,
+    df: np.ndarray | float,
+    n_docs: int,
+    avg_idf: float | None = None,
+) -> np.ndarray | float:
+    """Per-term inverse document frequency for each variant (SURVEY §2.6).
+
+    ``avg_idf`` (vocab-wide mean robertson idf) is required only for
+    method="okapi" with epsilon != 0 — the floor for negative idfs is
+    ``epsilon * avg_idf`` (rank_bm25 BM25Okapi semantics)."""
     df = np.asarray(df, dtype=np.float64)
     m = params.method
-    if m == "robertson":
+    if m in ("robertson", "okapi"):
         out = np.log((n_docs - df + 0.5) / (df + 0.5))
+        if m == "okapi":
+            if params.epsilon != 0.0 and avg_idf is None:
+                raise ValueError("okapi with epsilon != 0 needs avg_idf")
+            floor = params.epsilon * (avg_idf or 0.0)
+            out = np.where(out < 0, floor, out)
     elif m == "atire":
         out = np.log(n_docs / df)
     elif m == "lucene":
@@ -90,7 +116,7 @@ def tf_shape(
     k1, b, delta = params.k1, params.b, params.delta
     norm = 1.0 - b + b * dl / avgdl
     m = params.method
-    if m in ("lucene", "atire", "robertson"):
+    if m in ("lucene", "atire", "robertson", "okapi"):
         return tf * (k1 + 1.0) / (tf + k1 * norm)
     if m == "bm25l":
         ctd = tf / norm
@@ -152,6 +178,11 @@ def score_dense(
     query-token order like the reference."""
     scores = np.zeros(n_docs, dtype=np.float64)
     s0 = nonoccurrence_shape(params)
+    avg = None
+    if params.method == "okapi":
+        avg = avg_robertson_idf(
+            np.array([len(p) for p in postings.values()]), n_docs
+        )
     for tok in query_tokens:
         plist = postings.get(tok)
         if plist is None:
@@ -159,7 +190,7 @@ def score_dense(
             # (reference drops unseen tokens at query-tokenize time,
             # on_bm25s.py:90)
             continue
-        t_idf = float(idf(params, len(plist), n_docs))
+        t_idf = float(idf(params, len(plist), n_docs, avg_idf=avg))
         if s0:
             scores += t_idf * s0
         doc_ids = np.fromiter(plist.keys(), dtype=np.int64, count=len(plist))

@@ -386,11 +386,17 @@ def build_index(
 
         num_docs = sum(e["n_docs"] for e in man.groups.values())
         total_len = sum(e["sum_tf"] for e in man.groups.values())
+        # vocab-wide mean robertson idf: the base of BM25Okapi's epsilon
+        # floor, fixed at build time (one narrow df-column scan)
+        from ..functions.bm25 import avg_robertson_idf
+
+        dfs = pads.dataset(v_dir).to_table(columns=["df"]).column("df").to_numpy()
         man.stats = {
             "num_docs": int(num_docs),
             "total_len": int(total_len),
             "avgdl": (total_len / num_docs) if num_docs else 0.0,
-            "n_terms": pads.dataset(v_dir).count_rows(),
+            "n_terms": int(dfs.size),
+            "avg_robertson_idf": avg_robertson_idf(dfs, int(num_docs)),
         }
         man.mark_stage("finalize")
     return man

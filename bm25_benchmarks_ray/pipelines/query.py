@@ -98,9 +98,12 @@ def _query_plan(
     index_dir: str,
     params: BM25Params,
     num_docs: int,
+    avg_idf: float | None = None,
 ) -> dict:
     """Driver-side query structure: per-term (query, weight·idf) fanout +
-    per-query constants.  df lookups are a term-pruned vocab read."""
+    per-query constants.  df lookups are a term-pruned vocab read.
+    ``avg_idf``: vocab-wide mean robertson idf (manifest stats), needed
+    only by okapi's epsilon floor."""
     terms = sorted({t for _, c in tokenized for t in c})
     df_map: dict[str, int] = {}
     if terms:
@@ -108,6 +111,13 @@ def _query_plan(
             columns=["term", "df"], filter=pc.field("term").isin(terms)
         )
         df_map = dict(zip(v.column("term").to_pylist(), v.column("df").to_pylist()))
+    if params.method == "okapi" and params.epsilon != 0.0 and avg_idf is None:
+        from ..functions.bm25 import avg_robertson_idf
+
+        dfs = pads.dataset(os.path.join(index_dir, VOCAB_DIR)).to_table(
+            columns=["df"]
+        ).column("df").to_numpy()
+        avg_idf = avg_robertson_idf(dfs, num_docs)
 
     s0 = nonoccurrence_shape(params)
     qids = [qid for qid, _ in tokenized]
@@ -118,7 +128,7 @@ def _query_plan(
             df = df_map.get(term)
             if df is None:  # unseen token drops out (frozen vocab, §2.2 M7)
                 continue
-            t_idf = float(idf_fn(params, df, num_docs))
+            t_idf = float(idf_fn(params, df, num_docs, avg_idf=avg_idf))
             term_fanout.setdefault(term, []).append((qi, m * t_idf))
             qconst[qi] += m * t_idf * s0
     return {
@@ -492,7 +502,10 @@ def search(
     avgdl = man.stats["avgdl"]
 
     tokenized = tokenize_queries(queries, cfg)
-    plan = _query_plan(tokenized, index_dir, params, num_docs)
+    plan = _query_plan(
+        tokenized, index_dir, params, num_docs,
+        avg_idf=man.stats.get("avg_robertson_idf"),
+    )
     plan_ref = ray.put(plan)
 
     gids = man.done_groups()

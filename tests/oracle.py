@@ -76,11 +76,18 @@ def oracle_scores(
     tokens = tokenize_text(query, stopwords=sw, stemmer=st)
     scores = np.zeros(index.n_docs, dtype=np.float64)
     s0 = nonoccurrence_shape(params)
+    avg = None
+    if params.method == "okapi":
+        from bm25_benchmarks_ray.functions.bm25 import avg_robertson_idf
+
+        avg = avg_robertson_idf(
+            np.array([len(p) for p in index.postings.values()]), index.n_docs
+        )
     for tok in tokens:  # occurrence-weighted: repeats count twice
         plist = index.postings.get(tok)
         if plist is None:
             continue  # unseen token drops out entirely
-        t_idf = float(idf(params, len(plist), index.n_docs))
+        t_idf = float(idf(params, len(plist), index.n_docs, avg_idf=avg))
         if s0:
             scores += t_idf * s0
         dnums = np.fromiter(plist.keys(), dtype=np.int64, count=len(plist))

@@ -78,7 +78,7 @@ def assert_rank_identical(got_docs, got_scores, exp, atol=1e-6, ctx=None):
             assert abs(gs - es) <= atol, (ctx, gd, ed, gs, es)
 
 
-@pytest.mark.parametrize("method", ["lucene", "atire", "robertson", "bm25l", "bm25+"])
+@pytest.mark.parametrize("method", ["lucene", "atire", "robertson", "bm25l", "bm25+", "okapi"])
 def test_topk_matches_oracle(built, method):
     idx, cfg, man, oracle = built
     params = BM25Params(method=method)

@@ -85,6 +85,24 @@ def test_robertson_negative_idf_matches_oracle(built, mode, qtext):
     )
 
 
+@pytest.mark.parametrize("eps", [0.0, 0.25])
+@pytest.mark.parametrize("qtext", ["common rare", "common", "rare filler"])
+def test_okapi_epsilon_floor_matches_oracle(built, eps, qtext):
+    """BM25Okapi: negative idfs floored to eps * vocab-avg idf; matched
+    docs never score below the floor contribution, so the padding
+    interleave differs from raw robertson."""
+    idx, man, oracle = built
+    params = BM25Params(method="okapi", epsilon=eps)
+    res = search(idx, [("q", qtext)], params=params, k=10).to_pandas()
+    res = res.sort_values("rank")
+    exp = oracle_topk(oracle, qtext, params, k=10)
+    got_scores = res["score"].to_numpy()
+    exp_scores = np.array([s for _, s in exp])
+    np.testing.assert_allclose(got_scores, exp_scores, atol=1e-9)
+    for gd, gs, (ed, es) in zip(res["doc_id"], got_scores, exp):
+        assert gd == ed or abs(gs - es) <= 1e-9
+
+
 def test_unmatched_outrank_matched(built):
     """The concrete ADVICE scenario: single negative-idf term query →
     top-10 must be exactly the unmatched docs at score 0.0."""

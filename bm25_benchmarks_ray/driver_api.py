@@ -204,16 +204,34 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = 0.8):
     )
 
 
+def _pairs_table(ds, score_col: str, round6: bool = True) -> pa.Table:
+    df = ds.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    vals = df[score_col]
+    if round6:
+        vals = vals.round(6)
+    return pa.table(
+        {
+            "a": pa.array(df["a"], type=pa.int64()),
+            "b": pa.array(df["b"], type=pa.int64()),
+            score_col: pa.array(
+                vals, type=pa.float64() if round6 else pa.int64()
+            ),
+        }
+    )
+
+
 def q_minhash_lsh(sf_dir: str):
     from .pipelines.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.8)
+    return _pairs_table(minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.8), "jaccard")
 
 
 def q_simhash(sf_dir: str):
     from .pipelines.dedup import simhash_pairs
 
-    return simhash_pairs(_docs_ds(sf_dir), hamming_max=3)
+    return _pairs_table(
+        simhash_pairs(_docs_ds(sf_dir), hamming_max=3), "hamming", round6=False
+    )
 
 
 def _query_vecs(sf_dir: str, n: int = 5):
@@ -575,6 +593,70 @@ SELECT doc_id,
 FROM documents
 """
 
+# DuckDB replica of dedup.md5_u64: little-endian uint64 of the first 8
+# md5 bytes of '0'||NUL||s (verified bit-identical to the Python side)
+_MD5U64_SQL = (
+    "('0x' || substr(h,15,2) || substr(h,13,2) || substr(h,11,2) || substr(h,9,2)"
+    " || substr(h,7,2) || substr(h,5,2) || substr(h,3,2) || substr(h,1,2))::UBIGINT"
+)
+
+# winnowing (k=5, window=4): md5_u64 per k-gram, window minimum,
+# distinct per doc — exactly pipelines.text_analysis.winnow_fingerprint
+WINNOW_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w\w+') AS t FROM documents
+),
+kg AS (
+  SELECT doc_id, i,
+         md5('0' || chr(0) || array_to_string(t[i:i+4], ' ')) AS h
+  FROM tok, unnest(range(1, len(t) - 3)) AS r(i)
+  WHERE len(t) >= 5
+),
+kh AS (
+  SELECT doc_id, i, {_MD5U64_SQL} AS v,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM kg
+),
+win AS (
+  SELECT doc_id, i, n,
+         min(v) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+  FROM kh
+)
+SELECT DISTINCT doc_id, fp FROM win WHERE i >= least(4, n)
+"""
+
+# simhash (md5_u64 token hashes → sign-summed 64 bits) + all pairs at
+# hamming <= 3; the Ray side's 4x16-bit band blocking is complete for
+# distance 3 by pigeonhole, so the SQL all-pairs form is equivalent
+SIMHASH_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w\w+')) AS tk
+  FROM documents
+),
+th0 AS (SELECT doc_id, md5('0' || chr(0) || tk) AS h FROM tok),
+th AS (SELECT doc_id, {_MD5U64_SQL} AS v FROM th0),
+bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS j)
+  GROUP BY doc_id, j
+),
+sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END)::UBIGINT AS sh
+  FROM bits GROUP BY doc_id
+),
+allsim AS (
+  SELECT d.doc_id, coalesce(sim.sh, 0::UBIGINT) AS sh
+  FROM documents d LEFT JOIN sim ON sim.doc_id = d.doc_id
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+FROM allsim a JOIN allsim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
 CORPUS_UNION_SQL = """
 SELECT 'a_' || doc_id::VARCHAR AS uid, text FROM documents
 UNION ALL
@@ -606,10 +688,16 @@ ORACLE_SQL: dict[str, str] = {
     "fingerprint": FINGERPRINT_SQL,
     "corpus_union": CORPUS_UNION_SQL,
     "doc_text_projection": DOC_TEXT_PROJECTION_SQL,
-    # minhash_lsh_pairs / simhash_pairs / embed_ivf_topk /
-    # winnow_fingerprint: approximate / hash-structured — not
-    # SQL-expressible; driver records rows-only, pytest verifies against
-    # planted duplicates / shared passages.
+    # minhash: the verified output is exact shingle Jaccard >= 0.8; the
+    # banded LSH candidate stage (32 bands x 4 rows) misses a >=0.8 pair
+    # with probability <= (1-0.8^4)^32 ~ 5e-8, so the exact-Jaccard SQL
+    # is the oracle (deterministic seeds make the run stable).
+    "minhash_lsh_pairs": NGRAM_JACCARD_SQL,
+    "simhash_pairs": SIMHASH_SQL,
+    "winnow_fingerprint": WINNOW_SQL,
+    # embed_ivf_topk: approximate by design (nprobe < n_centroids drops
+    # true neighbors deliberately) — rows-only; pytest checks recall
+    # against the exact brute-force path instead.
 }
 
 

@@ -32,9 +32,41 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Min
 
 from ..functions.tokenizer import TOKEN_RE
+
+
+def _join_partitions() -> int:
+    """Hash-join width: one partition per CPU (tiny pair/size tables
+    relative to the corpus; the join is never the wide stage here)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, cpus)
+
+
+def _stabilize(ds: rd.Dataset) -> rd.Dataset:
+    """groupby().aggregate() can emit schema-less EMPTY blocks that the
+    hash join's Arrow kernel rejects; map_batches is skipped on empty
+    blocks so a UDF cannot fix them.  A repartition merges them into
+    schema-bearing blocks (tiny pair/size tables — cheap)."""
+    return ds.repartition(_join_partitions())
+
+
+def _distinct_pairs(pairs: rd.Dataset, keep: str | None = None) -> rd.Dataset:
+    """Distinct (a, b) via a vectorized groupby-aggregate — one sort
+    shuffle, no per-group Python lambdas.  ``keep``: a column whose
+    per-pair Min should survive (identical across duplicates here)."""
+    if keep is None:
+        return _stabilize(
+            pairs.groupby(["a", "b"])
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["a", "b"])
+        )
+    return _stabilize(
+        pairs.groupby(["a", "b"]).aggregate(Min(keep, alias_name=keep))
+    )
 
 # -- deterministic vectorized hashing ---------------------------------
 
@@ -128,34 +160,48 @@ def ngram_jaccard_pairs(
     """Pairs (a < b) with Jaccard(n-gram shingle sets) >= threshold.
 
     shingle → groupby(shingle) candidate pairs → groupby(pair) count =
-    |A∩B|; |A∪B| recovered from per-doc shingle counts broadcast via a
-    driver-side map (small: one int per doc; switch to a join at 10^9+
-    docs)."""
+    |A∩B|; |A∪B| recovered by hash-joining the per-doc shingle-count
+    table back onto the pairs (both sides stay distributed — no
+    driver-side size map)."""
     sh = ds.map_batches(lambda b: _shingle_rows(b, n), batch_format="pyarrow")
-    sizes = (
-        sh.groupby("doc_id").aggregate(Min("n_sh", alias_name="n_sh")).to_pandas()
-    )
-    size_map = dict(zip(sizes["doc_id"], sizes["n_sh"]))
+    sizes = _stabilize(sh.groupby("doc_id").aggregate(Min("n_sh", alias_name="n_sh")))
 
     pairs = sh.groupby("sh").map_groups(
         make_pairs_from_group(max_bucket), batch_format="pyarrow"
     )
+    # co-occurrence count per pair = |A∩B| (vectorized aggregate)
+    inter = _stabilize(pairs.groupby(["a", "b"]).aggregate(Count(alias_name="inter")))
 
-    def score_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["a", "b"], sort=False).size().reset_index(name="inter")
-        na = g["a"].map(size_map).to_numpy(dtype=np.float64)
-        nb = g["b"].map(size_map).to_numpy(dtype=np.float64)
-        jac = g["inter"].to_numpy() / (na + nb - g["inter"].to_numpy())
-        g["jaccard"] = jac
-        return g[jac >= threshold][["a", "b", "jaccard"]]
+    def rename(key: str, val: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({key: b.column("doc_id"), val: b.column("n_sh")})
 
-    # pair rows for one (a,b) can span blocks: groupby first
-    return (
-        pairs.groupby(["a", "b"])
-        .map_groups(
-            lambda df: score_pairs(df), batch_format="pandas"
-        )
+        return f
+
+    p = _join_partitions()
+    joined = inter.join(
+        sizes.map_batches(rename("a", "na"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=p, on=("a",),
+    ).join(
+        sizes.map_batches(rename("b", "nb"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=p, on=("b",),
     )
+
+    def score(b: pa.Table) -> pa.Table:
+        i = b.column("inter").to_numpy().astype(np.float64)
+        na = b.column("na").to_numpy().astype(np.float64)
+        nb = b.column("nb").to_numpy().astype(np.float64)
+        jac = i / (na + nb - i)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "a": pa.array(b.column("a").to_numpy()[keep], type=pa.int64()),
+                "b": pa.array(b.column("b").to_numpy()[keep], type=pa.int64()),
+                "jaccard": pa.array(jac[keep], type=pa.float64()),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")
 
 
 # -- MinHash + LSH -----------------------------------------------------
@@ -247,31 +293,54 @@ def minhash_lsh_pairs(
             }
         )
 
-    cands = (
+    cands = _distinct_pairs(
         sig.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "bucket"])
         .map_groups(make_pairs_from_group(max_bucket), batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .map_groups(lambda df: df.head(1), batch_format="pandas")
     )
     if not verify:
         return cands
 
-    _df = ds.to_pandas()
-    texts = dict(zip(_df["doc_id"], _df["text"]))
-    # verify side table; at scale replace with a join against the corpus
+    # exact-Jaccard verify stays distributed: hash-join each pair side
+    # back to the corpus text (candidate pairs ≪ corpus; no driver-side
+    # text table, no full-corpus broadcast)
+    corpus = ds.select_columns(["doc_id", "text"])
 
-    def verify_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def rename(key: str, val: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({key: b.column("doc_id"), val: b.column("text")})
+
+        return f
+
+    p = _join_partitions()
+    joined = cands.join(
+        corpus.map_batches(rename("a", "text_a"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=p, on=("a",),
+    ).join(
+        corpus.map_batches(rename("b", "text_b"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=p, on=("b",),
+    )
+
+    def verify_pairs(b: pa.Table) -> pa.Table:
         out = []
-        for a, b in zip(df["a"], df["b"]):
-            sa, sb = shingles(texts[a], shingle_n), shingles(texts[b], shingle_n)
+        for a, bb, ta, tb in zip(
+            b.column("a").to_pylist(), b.column("b").to_pylist(),
+            b.column("text_a").to_pylist(), b.column("text_b").to_pylist(),
+        ):
+            sa, sb = shingles(ta, shingle_n), shingles(tb, shingle_n)
             u = len(sa | sb)
             j = (len(sa & sb) / u) if u else 1.0
             if j >= threshold:
-                out.append((a, b, j))
-        return pd.DataFrame(out, columns=["a", "b", "jaccard"])
+                out.append((a, bb, j))
+        return pa.table(
+            {
+                "a": pa.array([x[0] for x in out], type=pa.int64()),
+                "b": pa.array([x[1] for x in out], type=pa.int64()),
+                "jaccard": pa.array([x[2] for x in out], type=pa.float64()),
+            }
+        )
 
-    return cands.map_batches(verify_pairs, batch_format="pandas")
+    return joined.map_batches(verify_pairs, batch_format="pyarrow")
 
 
 # -- SimHash -----------------------------------------------------------
@@ -337,10 +406,9 @@ def simhash_pairs(
             }
         )
 
-    return (
+    return _distinct_pairs(
         ds.map_batches(sim_rows, batch_format="pyarrow")
         .groupby(["band", "bucket"])
-        .map_groups(pairs_with_sim, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .map_groups(lambda df: df.head(1), batch_format="pandas")
+        .map_groups(pairs_with_sim, batch_format="pyarrow"),
+        keep="hamming",
     )

@@ -115,37 +115,39 @@ def token_count(ds: rd.Dataset) -> rd.Dataset:
 def winnow_fingerprint(
     ds: rd.Dataset, k: int = 5, window: int = 4
 ) -> rd.Dataset:
-    """(doc_id, fps list<uint64>): winnowed rolling-hash fingerprints —
-    the classic document-fingerprinting scheme (k-gram Rabin-Karp
-    rolling hash over the normalized token stream, minimum per sliding
-    window, deduplicated).  Two documents sharing a long-enough passage
-    share fingerprints regardless of position, which is what the
-    md5-whole-doc fingerprint cannot give.  Vectorized: the rolling
-    hash is a polynomial over per-token hashes computed with cumulative
-    products, the window minimum via a strided reshape."""
-    B = np.uint64(1099511628211)
+    """(doc_id, fps list<uint64>): winnowed fingerprints — the classic
+    document-fingerprinting scheme (hash per k-gram of the normalized
+    token stream, minimum per sliding window, deduplicated).  Two
+    documents sharing a long-enough passage share fingerprints
+    regardless of position, which is what the md5-whole-doc fingerprint
+    cannot give.
+
+    K-gram hashes are md5_u64 over the joined k-gram string: one
+    C-speed digest per k-gram for the whole batch (no per-byte Python
+    hashing), deterministic across workers, and exactly reproducible in
+    SQL — the DuckDB oracle recomputes identical fingerprints."""
+    from ..pipelines.dedup import md5_u64
 
     def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        # batch-level k-gram hashing: one md5_u64 call for all docs
+        tok_lists = [TOKEN_RE.findall(t.lower()) for t in texts]
+        grams: list[str] = []
+        spans: list[tuple[int, int]] = []
+        for toks in tok_lists:
+            n = max(0, len(toks) - k + 1)
+            start = len(grams)
+            grams.extend(" ".join(toks[i : i + k]) for i in range(n))
+            spans.append((start, start + n))
+        all_kg = md5_u64(grams)
         out_ids, out_fps = [], []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            toks = TOKEN_RE.findall(text.lower())
-            if len(toks) < k:
-                out_ids.append(doc_id)
-                out_fps.append([])
-                continue
-            th = np.array(
-                [hash_token_u64(t) for t in toks], dtype=np.uint64
-            )
-            n = len(toks) - k + 1
-            with np.errstate(over="ignore"):
-                # k-gram polynomial hash: sum th[i+j] * B^(k-1-j)
-                kg = np.zeros(n, dtype=np.uint64)
-                for j in range(k):
-                    kg = kg * B + th[j : j + n]
-            if n < window:
-                fps = np.unique(kg[[int(np.argmin(kg))]])
+        for doc_id, (s, e) in zip(batch.column("doc_id").to_pylist(), spans):
+            kg = all_kg[s:e]
+            n = kg.size
+            if n == 0:
+                fps = np.empty(0, dtype=np.uint64)
+            elif n < window:
+                fps = kg.min(keepdims=True)
             else:
                 w = np.lib.stride_tricks.sliding_window_view(kg, window)
                 fps = np.unique(w.min(axis=1))
@@ -159,14 +161,6 @@ def winnow_fingerprint(
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
-
-
-def hash_token_u64(tok: str) -> int:
-    """Deterministic per-token 64-bit hash (FNV-1a over utf-8)."""
-    h = 0xCBF29CE484222325
-    for b in tok.encode():
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
 
 
 def fingerprint(ds: rd.Dataset) -> rd.Dataset:

@@ -269,10 +269,12 @@ def q_embed_ivf_topk(sf_dir: str):
 
     from .pipelines.similarity import ivf_topk
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(p, columns=["vec_id", "embedding"])
+    key = hashlib.sha256(f"ivf|{p}|{os.path.getmtime(p)}".encode()).hexdigest()[:16]
+    return ivf_topk(
+        ds, _query_vecs(sf_dir), k=10, index_dir=os.path.join(CACHE_ROOT, key)
     )
-    return ivf_topk(ds, _query_vecs(sf_dir), k=10)
 
 
 def q_lang_id(sf_dir: str):

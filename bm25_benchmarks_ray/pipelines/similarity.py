@@ -137,30 +137,99 @@ def fit_centroids(
     return c
 
 
-def ivf_topk(
+IVF_CENTROIDS = "centroids.npy"
+IVF_BUCKETS = "buckets"
+
+
+def ivf_build(
     ds: rd.Dataset,
+    index_dir: str,
+    n_centroids: int = 16,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Materialize an IVF index: assign every vector to its nearest
+    coarse centroid ONCE and write bucket-partitioned parquet
+    (``buckets/bucket=K/``).  Queries then read only the probed
+    buckets' partitions — assignment is a build cost, not a per-query
+    scan (mirrors the BM25 group/segment design).  Returns centroids."""
+    import os
+
+    cents = fit_centroids(
+        ds, n_centroids=n_centroids, sample=sample, iters=iters, seed=seed,
+        vec_col=vec_col,
+    )
+    c_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, vec_col))
+        b = (m @ ray.get(c_ref).T).argmax(axis=1).astype(np.int64)
+        # "bucket" becomes the partition directory; "bkt" stays in the
+        # row data so probed reads need no hive-partition inference
+        return batch.append_column(
+            "bucket", pa.array(b, type=pa.int64())
+        ).append_column("bkt", pa.array(b, type=pa.int64()))
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, IVF_BUCKETS), partition_cols=["bucket"]
+    )
+    np.save(os.path.join(index_dir, IVF_CENTROIDS), cents)
+    return cents
+
+
+def ivf_probed_dataset(
+    index_dir: str, probed: list[int]
+) -> rd.Dataset:
+    """Dataset over ONLY the probed buckets' partitions (directory-level
+    pruning: unprobed buckets are never listed, read, or decoded)."""
+    import os
+
+    import glob
+
+    paths = [
+        f
+        for b in sorted(probed)
+        for f in sorted(
+            glob.glob(
+                os.path.join(index_dir, IVF_BUCKETS, f"bucket={b}", "*.parquet")
+            )
+        )
+    ]
+    return rd.read_parquet(paths) if paths else rd.from_items([])
+
+
+def ivf_search(
+    index_dir: str,
     query_vecs: np.ndarray,
     k: int = 10,
-    n_centroids: int = 16,
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> pa.Table:
-    """Approximate cosine top-k: search only the nprobe nearest
-    centroid buckets per query.  Same output schema as cosine_topk."""
-    cents = fit_centroids(ds, n_centroids=n_centroids, vec_col=vec_col)
+    """Approximate cosine top-k over a built IVF index: score each query
+    against only its nprobe nearest buckets.  Output schema matches
+    cosine_topk."""
+    import os
+
+    cents = np.load(os.path.join(index_dir, IVF_CENTROIDS))
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
     probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
-    q_ref = ray.put((q, cents, probes))
+    probed = sorted(set(int(b) for b in probes.ravel()))
+    ds = ivf_probed_dataset(index_dir, probed)
+    q_ref = ray.put((q, probes))
 
     def partial(batch: pa.Table) -> pa.Table:
-        qm, c, pr = ray.get(q_ref)
+        qm, pr = ray.get(q_ref)
         m = _normalize(_batch_matrix(batch, vec_col))
         ids = batch.column(id_col).to_numpy()
-        assign = (m @ c.T).argmax(axis=1)  # bucket per vector
+        bucket = batch.column("bkt").to_numpy()
         out_qi, out_id, out_s = [], [], []
         for qi in range(qm.shape[0]):
-            mask = np.isin(assign, pr[qi])
+            mask = np.isin(bucket, pr[qi])
             if not mask.any():
                 continue
             s = m[mask] @ qm[qi]
@@ -209,6 +278,36 @@ def ivf_topk(
             "rank": pa.array(df["rank"].astype(np.int64)),
             "score": pa.array(df["score"], type=pa.float64()),
         }
+    )
+
+
+def ivf_topk(
+    ds: rd.Dataset,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    index_dir: str | None = None,
+) -> pa.Table:
+    """Build-then-search convenience: materialize the IVF buckets (to
+    ``index_dir`` or a fresh /tmp dir) and answer the queries.  Reuse
+    ``ivf_build`` + ``ivf_search`` directly to amortize the build."""
+    import tempfile
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="ivf_", dir="/tmp")
+    import os
+
+    if not os.path.exists(os.path.join(index_dir, IVF_CENTROIDS)):
+        ivf_build(
+            ds, index_dir, n_centroids=n_centroids,
+            vec_col=vec_col, id_col=id_col,
+        )
+    return ivf_search(
+        index_dir, query_vecs, k=k, nprobe=nprobe,
+        vec_col=vec_col, id_col=id_col,
     )
 
 

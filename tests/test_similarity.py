@@ -83,3 +83,33 @@ def test_fit_centroids_deterministic(embdata):
     c1 = fit_centroids(rd.from_arrow(t), n_centroids=8)
     c2 = fit_centroids(rd.from_arrow(t), n_centroids=8)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_ivf_build_prunes_reads(embdata, tmp_path):
+    """The materialized IVF index reads ONLY probed bucket partitions:
+    assignment happens once at build, never per query."""
+    import os
+
+    from bm25_benchmarks_ray.pipelines.similarity import (
+        IVF_BUCKETS,
+        ivf_build,
+        ivf_probed_dataset,
+        ivf_search,
+    )
+
+    t, vecs = embdata
+    idx = str(tmp_path / "ivf")
+    cents = ivf_build(rd.from_arrow(t).repartition(4), idx, n_centroids=8)
+    bucket_dirs = sorted(os.listdir(os.path.join(idx, IVF_BUCKETS)))
+    assert len(bucket_dirs) > 1 and all(d.startswith("bucket=") for d in bucket_dirs)
+    # directory-level pruning: a 2-bucket probe reads exactly those rows
+    probed = [0, 1]
+    pruned_rows = ivf_probed_dataset(idx, probed).count()
+    total_rows = ivf_probed_dataset(
+        idx, list(range(len(cents)))
+    ).count()
+    assert total_rows == t.num_rows
+    assert 0 < pruned_rows < total_rows
+    # search over the built index still answers every query
+    out = ivf_search(idx, vecs[:3], k=5).to_pandas()
+    assert set(out["qi"]) == {0, 1, 2}

@@ -1,15 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary columns with
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBS (no image/audio libs in this
-container): ``decode_backend="real"`` raises NotImplementedError at the
-exact call site where PIL/ffmpeg/soundfile would slot in, and the
-default deterministic fake backend derives pixel/sample content from
-the payload bytes so every downstream stage (resize, feature extract,
-frame sample) runs real numpy on real arrays.  The Ray-side plumbing —
-schemas, small batch sizes for large binary payloads, per-actor setup
-in __init__, typed Arrow outputs — is the deliverable and is fully
-tested (tests/test_multimodal.py).
+Image decode is REAL: ``decode_backend="real"`` dispatches on magic
+bytes to the pure-stdlib PNG / 24-bit BMP codec
+(functions/imagecodec.py) — no PIL/opencv needed.  Audio/video decode
+remain stubs (``decode_backend="real"`` raises NotImplementedError at
+the soundfile/ffmpeg call site) since the container genuinely lacks
+those libraries; the deterministic fake backend derives pixel/sample
+content from the payload bytes so every downstream stage (resize,
+feature extract, frame sample) runs real numpy on real arrays either
+way.
 
 Batch-size note (100 TB): binary payloads dominate block size; keep
 ``batch_size`` small (default 64) so batch × concurrency fits worker
@@ -26,6 +26,24 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+
+def _u8_list_array(arrays: list[np.ndarray]) -> pa.ListArray:
+    """list<uint8> column from numpy buffers: one concatenate + offsets,
+    no per-row Python lists."""
+    if not arrays:
+        return pa.array([], type=pa.list_(pa.uint8()))
+    offsets = np.zeros(len(arrays) + 1, dtype=np.int32)
+    np.cumsum([a.size for a in arrays], out=offsets[1:])
+    values = pa.array(np.concatenate(arrays), type=pa.uint8())
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), values)
+
+
+def _u8_list_rows(col: pa.ChunkedArray | pa.ListArray):
+    """Zero-copy (values, offsets) view of a list<uint8> column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.values.to_numpy(), col.offsets.to_numpy()
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -36,9 +54,11 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def synthesize_media(n: int, seed: int = 9) -> pa.Table:
+def synthesize_media(n: int, seed: int = 9, image_format: str = "raw") -> pa.Table:
     """Deterministic fake media table: payload bytes derived from
-    (seed, media_id); metadata consistent with payload length."""
+    (seed, media_id); metadata consistent with payload length.
+    image_format="png"/"bmp" emits REAL encoded image payloads (for the
+    real decode backend); "raw" keeps bare pixel bytes (fake backend)."""
     rng = np.random.RandomState(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)[
         rng.randint(0, 3, size=n)
@@ -48,7 +68,16 @@ def synthesize_media(n: int, seed: int = 9) -> pa.Table:
         h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
         if kind == "image":
             w, hgt = 8 + h[0] % 24, 8 + h[1] % 24
-            payloads.append((h * ((w * hgt * 3) // len(h) + 1))[: w * hgt * 3])
+            pix = (h * ((w * hgt * 3) // len(h) + 1))[: w * hgt * 3]
+            if image_format == "raw":
+                payloads.append(pix)
+            else:
+                from ..functions.imagecodec import encode_bmp, encode_png
+
+                img = np.frombuffer(pix, dtype=np.uint8).reshape(hgt, w, 3)
+                payloads.append(
+                    encode_png(img) if image_format == "png" else encode_bmp(img)
+                )
             metas.append(json.dumps({"width": w, "height": hgt}))
         elif kind == "audio":
             ns = 256 + h[0] * 4
@@ -78,10 +107,9 @@ class DecodeImage:
 
     def _decode(self, payload: bytes, meta: dict) -> np.ndarray:
         if self.backend == "real":
-            raise NotImplementedError(
-                "real image decode requires PIL/opencv — not in this "
-                "container; plug the library call here"
-            )
+            from ..functions.imagecodec import decode_image
+
+            return decode_image(payload)
         w, h = meta["width"], meta["height"]
         return np.frombuffer(payload[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
 
@@ -106,7 +134,7 @@ class DecodeImage:
                 "media_id": pa.array(ids, type=pa.int64()),
                 "width": pa.array(ws, type=pa.int32()),
                 "height": pa.array(hs, type=pa.int32()),
-                "pixels": pa.array([p.tolist() for p in px], type=pa.list_(pa.uint8())),
+                "pixels": _u8_list_array(px),
             }
         )
 
@@ -121,13 +149,12 @@ class ResizeImage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = self.target
+        values, offsets = _u8_list_rows(batch.column("pixels"))
         out = []
-        for w, h, px in zip(
-            batch.column("width").to_pylist(),
-            batch.column("height").to_pylist(),
-            batch.column("pixels").to_pylist(),
+        for i, (w, h) in enumerate(
+            zip(batch.column("width").to_pylist(), batch.column("height").to_pylist())
         ):
-            img = np.asarray(px, dtype=np.uint8).reshape(h, w, 3)
+            img = values[offsets[i] : offsets[i + 1]].reshape(h, w, 3)
             yi = (np.arange(t) * h // t)[:, None]
             xi = (np.arange(t) * w // t)[None, :]
             out.append(img[yi, xi].reshape(-1))
@@ -136,7 +163,7 @@ class ResizeImage:
                 "media_id": batch.column("media_id"),
                 "width": pa.array([t] * batch.num_rows, type=pa.int32()),
                 "height": pa.array([t] * batch.num_rows, type=pa.int32()),
-                "pixels": pa.array([o.tolist() for o in out], type=pa.list_(pa.uint8())),
+                "pixels": _u8_list_array(out),
             }
         )
 

@@ -85,11 +85,29 @@ def offsets_are_dense(offsets: pd.DataFrame) -> bool:
     return bool((offsets["max_turn"].to_numpy() == offsets["n_turns"].to_numpy() - 1).all())
 
 
-def assign_doc_ids(ds: rd.Dataset, offsets: pd.DataFrame) -> rd.Dataset:
+# conv count above which the broadcast offsets map stops being cheap
+# (one object-store copy per node + a dict probe per row) and the
+# hash-join path takes over
+JOIN_STRATEGY_CONVS = 100_000_000
+
+
+def assign_doc_ids(
+    ds: rd.Dataset, offsets: pd.DataFrame, strategy: str = "auto"
+) -> rd.Dataset:
     """Append int64 `doc_id` to a transcripts Dataset (dense-turn fast
-    path: doc_id = base[conv_id] + turn_idx)."""
+    path: doc_id = base[conv_id] + turn_idx).
+
+    strategy: "broadcast" ships the conv→base map once via ray.put and
+    probes it per batch — right up to O(10^8) convs.  "join" hash-joins
+    the offsets table instead (both sides distributed) — the 10^12-turn
+    path where the conv map itself is too big to broadcast.  "auto"
+    picks by conv count."""
     if not offsets_are_dense(offsets):
         return _assign_doc_ids_ranked(ds, offsets)
+    if strategy == "auto":
+        strategy = "join" if len(offsets) > JOIN_STRATEGY_CONVS else "broadcast"
+    if strategy == "join":
+        return _assign_doc_ids_join(ds, offsets)
     base_ref = ray.put(dict(zip(offsets["conv_id"], offsets["base"].astype(np.int64))))
 
     def add_ids(batch: pa.Table) -> pa.Table:
@@ -101,6 +119,35 @@ def assign_doc_ids(ds: rd.Dataset, offsets: pd.DataFrame) -> rd.Dataset:
         return batch.append_column("doc_id", pa.array(doc_id, type=pa.int64()))
 
     return ds.map_batches(add_ids, batch_format="pyarrow")
+
+
+def _assign_doc_ids_join(ds: rd.Dataset, offsets: pd.DataFrame) -> rd.Dataset:
+    """Hash-join path: rows ⋈ offsets on conv_id, doc_id = base + turn.
+    (At true scale the offsets side arrives as its own Dataset; the
+    pandas→Dataset lift here covers the shared call signature.)"""
+    import ray.data as _rd
+
+    off_ds = _rd.from_pandas(
+        offsets[["conv_id", "base"]].astype({"base": np.int64})
+    )
+    import ray as _ray
+
+    cpus = (
+        int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    )
+    joined = ds.join(
+        off_ds, join_type="inner", num_partitions=max(2, cpus), on=("conv_id",)
+    )
+
+    def add_ids(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("base").to_numpy().astype(np.int64) + batch.column(
+            "turn_idx"
+        ).to_numpy().astype(np.int64)
+        return batch.drop_columns(["base"]).append_column(
+            "doc_id", pa.array(doc_id, type=pa.int64())
+        )
+
+    return joined.map_batches(add_ids, batch_format="pyarrow")
 
 
 def _assign_doc_ids_ranked(ds: rd.Dataset, offsets: pd.DataFrame) -> rd.Dataset:

@@ -73,3 +73,34 @@ def test_synthesizer_deterministic():
     df = a.to_pandas()
     for _, g in df.groupby("conv_id"):
         assert list(g["turn_idx"]) == list(range(len(g)))
+
+
+def test_join_strategy_matches_broadcast(ray_session):
+    """strategy="join" (the >10^8-conv path) must produce identical
+    doc ids to the broadcast fast path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bm25_benchmarks_ray.stages.docids import assign_doc_ids, conv_offsets
+
+    rows = [
+        {"conv_id": f"c{c:03d}", "turn_idx": t, "text": f"t{c}-{t}"}
+        for c in range(17)
+        for t in range(c % 5 + 1)
+    ]
+    ds = rd.from_items(rows).repartition(4)
+    offsets = conv_offsets(ds)
+    a = (
+        assign_doc_ids(ds, offsets, strategy="broadcast")
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        assign_doc_ids(ds, offsets, strategy="join")
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert sorted(a["doc_id"]) == list(range(len(rows)))

@@ -76,8 +76,19 @@ def test_frame_sampling(media):
     assert all(isinstance(f, bytes) and len(f) == 64 for f in out["frame"])
 
 
-def test_real_backend_is_stubbed():
+def test_real_image_backend_rejects_raw_payloads():
+    """The real image backend decodes PNG/BMP by magic bytes; bare pixel
+    payloads (no container format) are a hard error, not silent junk."""
     dec = DecodeImage(decode_backend="real")
+    t = synthesize_media(10, seed=1)  # image_format="raw"
+    with pytest.raises(ValueError):
+        dec(t)
+
+
+def test_real_audio_backend_is_stubbed():
+    from bm25_benchmarks_ray.pipelines.multimodal import AudioFeatures
+
+    feats = AudioFeatures(decode_backend="real")
     t = synthesize_media(10, seed=1)
     with pytest.raises(NotImplementedError):
-        dec(t)
+        feats(t)

@@ -77,6 +77,13 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
         n_res = search(idx, queries, params=params, k=10).count()
         timings["query"] = time.perf_counter() - t0
 
+        # k=1000: the reference's published qps are top_k=1000
+        # (/root/reference/README.md:81) — candidate sets and partial-row
+        # volume behave very differently than k=10
+        t0 = time.perf_counter()
+        n_res_1k = search(idx, queries, params=params, k=1000).count()
+        timings["query_k1000"] = time.perf_counter() - t0
+
         lats = []
         for q in queries[:lat_sample]:
             t0 = time.perf_counter()
@@ -117,6 +124,8 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
             "n_result_rows": int(n_res),
             "index_turns_per_s": round(n_turns / timings["index"], 1),
             "query_qps": round(n_queries / timings["query"], 1),
+            "query_k1000_qps": round(n_queries / timings["query_k1000"], 1),
+            "n_result_rows_k1000": int(n_res_1k),
             "query_p50_s": round(float(np.percentile(lats, 50)), 4),
             "query_p99_s": round(float(np.percentile(lats, 99)), 4),
             **large,

@@ -180,6 +180,37 @@ def _lowest_unmatched(matched: np.ndarray, lo: int, hi: int, k: int) -> np.ndarr
     return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
 
 
+class _DecodeCache:
+    """Per-task cache of decoded posting lists as (doc, tf_shape - s0)
+    arrays, keyed by term.  One decode per term per task regardless of
+    how many queries in the batch share the term.  Passed into the
+    pruned scorer as its ``full_decode`` hook."""
+
+    def __init__(self, block_size, lo, hi, params, avgdl, s0):
+        from ..stages.segments import decode_segment
+
+        self._decode = decode_segment
+        self.block_size, self.lo, self.hi = block_size, lo, hi
+        self.params, self.avgdl, self.s0 = params, avgdl, s0
+        self.data: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+    def cached(self, row: dict) -> bool:
+        return row["term"] in self.data
+
+    def __call__(self, row: dict) -> tuple[np.ndarray, np.ndarray]:
+        term = row["term"]
+        hit = self.data.get(term)
+        if hit is None:
+            doc, tf, dl = self._decode(row, self.block_size, self.lo, self.hi)
+            base = (
+                tf_shape(self.params, tf, dl, self.avgdl) - self.s0
+                if doc.size
+                else np.empty(0, dtype=np.float64)
+            )
+            hit = self.data[term] = (doc, base)
+        return hit
+
+
 def make_score_slice(
     plan_ref,
     params: BM25Params,
@@ -261,21 +292,9 @@ def make_score_slice(
                         q_terms.setdefault(qi, []).append(row)
                         q_weights.setdefault(qi, []).append(w_idf)
 
-            # decoded (doc, tf_shape - s0) per term, shared across queries
-            decode_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-
-            def decoded(row: dict) -> tuple[np.ndarray, np.ndarray]:
-                term = row["term"]
-                hit = decode_cache.get(term)
-                if hit is None:
-                    doc, tf, dl = decode_segment(row, block_size, lo, hi)
-                    base = (
-                        tf_shape(params, tf, dl, avgdl) - s0
-                        if doc.size
-                        else np.empty(0, dtype=np.float64)
-                    )
-                    hit = decode_cache[term] = (doc, base)
-                return hit
+            # decoded (doc, tf_shape - s0) per term, shared across every
+            # query in this task — hot terms decode once, not per query
+            decoded = _DecodeCache(block_size, lo, hi, params, avgdl, s0)
 
             for qi in range(q_lo, q_hi):
                 rows = q_terms.get(qi)
@@ -286,7 +305,8 @@ def make_score_slice(
                 # lower ids win — those queries go exhaustive too
                 if rows and prune and all(w > 0 for w in ws):
                     doc, score = score_query_pruned(
-                        rows, ws, params, avgdl, k, block_size, lo, hi, qc
+                        rows, ws, params, avgdl, k, block_size, lo, hi, qc,
+                        full_decode=decoded,
                     )
                     if doc.size >= k:
                         # k matched at strictly > qconst: padding can
@@ -579,8 +599,12 @@ def search(
     # contiguous group ranges): merge-side append-padding, exact only
     # for non-negative-idf scoring.
     legacy_pad = dense_ids and not dense_pad
-    n_partial_est = len(plan["qids"]) * k * len(scatter)
-    if n_partial_est <= 5_000_000:
+    # each query appears only in its own q-batch's tasks, so partial
+    # volume is Q x k x (groups x slices) — NOT x len(scatter).  The
+    # driver-side vectorized merge wins up to ~30M tiny rows (~700 MB);
+    # beyond that the distributed groupby merge takes over.
+    n_partial_est = len(plan["qids"]) * k * len(gids) * n_slices
+    if n_partial_est <= 30_000_000:
         tbl = _collect_arrow(partials)
         merged_tbl = _merge_partials_local(tbl, plan, k, num_docs, legacy_pad)
         extra = _empty_query_results(plan, k, num_docs, legacy_pad)

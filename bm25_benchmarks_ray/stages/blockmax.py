@@ -87,11 +87,18 @@ def score_query_pruned(
     lo: int,
     hi: int,
     qconst: float,
+    full_decode=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k (docs, scores) for one query over one doc slice.
 
     term_rows: the query's segment rows (one per in-vocab term in this
-    group); weights: occurrence-count × idf per term."""
+    group); weights: occurrence-count × idf per term.
+
+    ``full_decode(row) -> (doc, base)`` (base = tf_shape - s0): an
+    optional caller-owned cache so a term shared by many queries in one
+    task is decoded once, not once per query.  The candidate-blocks
+    fast path skips it unless the term is already cached (a cached full
+    list is free; a fresh full decode would defeat the block skip)."""
     s0 = nonoccurrence_shape(params)
     m = len(term_rows)
     if m == 0:
@@ -123,16 +130,28 @@ def score_query_pruned(
             any_neg_pending = False
         prune_active = (not any_neg_pending) and cand_doc.size >= k
 
-        if prune_active and w > 0 and gmax[i] + rem[pos + 1] < threshold:
+        cached = full_decode is not None and full_decode.cached(row)
+        if (
+            prune_active
+            and w > 0
+            and gmax[i] + rem[pos + 1] < threshold
+            and not cached
+        ):
             # an unseen doc cannot reach the threshold through this and
             # later terms: score this term for candidates only, decoding
             # candidate blocks alone
             doc, tf, dl = decode_candidate_blocks(row, block_size, cand_doc, lo, hi)
+            base = tf_shape(params, tf, dl, avgdl) - s0 if doc.size else None
+        elif full_decode is not None:
+            doc, base = full_decode(row)
+            if prune_active and w > 0 and gmax[i] + rem[pos + 1] < threshold:
+                keep = np.isin(doc, cand_doc, assume_unique=True)
+                doc, base = doc[keep], base[keep]
         else:
             doc, tf, dl = decode_segment(row, block_size, lo, hi)
+            base = tf_shape(params, tf, dl, avgdl) - s0 if doc.size else None
         if doc.size:
-            contrib = w * (tf_shape(params, tf, dl, avgdl) - s0)
-            cand_doc, cand_score = _accumulate(cand_doc, cand_score, doc, contrib)
+            cand_doc, cand_score = _accumulate(cand_doc, cand_score, doc, w * base)
         if cand_doc.size >= k and not any_neg_pending:
             threshold = _kth(cand_score, k)
             # drop candidates that cannot reach the threshold anymore

@@ -27,7 +27,8 @@ def _common_index_args(p: argparse.ArgumentParser) -> None:
 
 def _bm25_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--method", default="lucene",
-                   choices=["lucene", "atire", "robertson", "bm25l", "bm25+"])
+                   choices=["lucene", "atire", "robertson", "bm25l", "bm25+",
+                            "okapi"])
     p.add_argument("--k1", type=float, default=1.5)
     p.add_argument("--b", type=float, default=0.75)
     p.add_argument("--delta", type=float, default=0.5)
@@ -36,6 +37,10 @@ def _bm25_args(p: argparse.ArgumentParser) -> None:
                    choices=["exhaustive", "pruned"])
     p.add_argument("--samples", type=int, default=None,
                    help="seeded random query sample size (reference --samples)")
+    p.add_argument("--profile", default=None, metavar="FILE",
+                   help="cProfile the retrieval; dump stats to FILE "
+                        "('-' for /tmp) and print top-50 by time "
+                        "(reference --profile, on_bm25s.py:368-377)")
 
 
 def _read_tsv(path: str) -> list[tuple[str, str]]:
@@ -45,6 +50,28 @@ def _read_tsv(path: str) -> list[tuple[str, str]]:
             parts = line.rstrip("\n").split("\t")
             if len(parts) >= 2:
                 out.append((parts[0], parts[1]))
+    return out
+
+
+def _read_queries(path: str) -> list[tuple[str, str]]:
+    """TSV (qid\\ttext) or BEIR queries.jsonl, by extension."""
+    if path.endswith(".jsonl") or os.path.isdir(path):
+        from .sources.beir import read_beir_queries
+
+        return read_beir_queries(path)
+    return _read_tsv(path)
+
+
+def _maybe_ext_ids(res, index_dir: str):
+    """If the index carries a BEIR docmap, translate internal doc ids
+    back to external string ids (results then line up with qrels)."""
+    from .sources.beir import attach_ext_ids, load_docmap
+
+    dm = load_docmap(index_dir)
+    if dm is None:
+        return res
+    out = attach_ext_ids(res, dm)
+    out["doc_id"] = out.pop("ext_id")
     return out
 
 
@@ -74,7 +101,27 @@ def cmd_index(args) -> int:
         stopwords=args.stopwords, stemmer=args.stemmer,
         salt_range=args.salt_range, block_size=args.block_size,
     )
-    man = build_index(args.input, args.index, cfg, mode=args.mode, fresh=args.fresh)
+    source, mode = args.input, args.mode
+    if mode == "beir":
+        # BEIR dataset dir (corpus.jsonl [+ queries/qrels]) → parquet +
+        # docmap staged next to the index, then a documents-mode build
+        import shutil
+
+        from .sources.beir import DOCMAP_FILE, beir_corpus_to_parquet
+
+        staged = os.path.join(args.index + "_corpus")
+        if args.fresh and os.path.exists(staged):
+            shutil.rmtree(staged)
+        if not os.path.exists(os.path.join(staged, DOCMAP_FILE)):
+            beir_corpus_to_parquet(args.input, staged)
+        source, mode = os.path.join(staged, "documents"), "documents"
+        man = build_index(source, args.index, cfg, mode=mode, fresh=args.fresh)
+        shutil.copyfile(
+            os.path.join(staged, DOCMAP_FILE),
+            os.path.join(args.index, DOCMAP_FILE),
+        )
+    else:
+        man = build_index(source, args.index, cfg, mode=mode, fresh=args.fresh)
     print(json.dumps({"index": args.index, "stats": man.stats,
                       "groups": len(man.done_groups())}))
     return 0
@@ -89,9 +136,26 @@ def cmd_query(args) -> int:
     from .pipelines.query import sample_queries
 
     params = BM25Params(method=args.method, k1=args.k1, b=args.b, delta=args.delta)
-    queries = sample_queries(_read_tsv(args.queries), args.samples)
-    res = search(args.index, queries, params=params, k=args.top_k,
-                 mode=args.query_mode).to_pandas()
+    queries = sample_queries(_read_queries(args.queries), args.samples)
+    if args.profile:
+        # the reference's cProfile hook (on_bm25s.py:368-377): driver-side
+        # profile of the whole retrieval; distributed task time shows up
+        # as ray waits — pair with RAY_DATA verbose stats for task-side
+        import cProfile
+        import pstats
+
+        prof_path = args.profile if args.profile != "-" else "/tmp/ray_bm25.prof"
+        prof = cProfile.Profile()
+        prof.enable()
+        res = search(args.index, queries, params=params, k=args.top_k,
+                     mode=args.query_mode).to_pandas()
+        prof.disable()
+        prof.dump_stats(prof_path)
+        pstats.Stats(prof_path, stream=sys.stderr).sort_stats("time").print_stats(50)
+    else:
+        res = search(args.index, queries, params=params, k=args.top_k,
+                     mode=args.query_mode).to_pandas()
+    res = _maybe_ext_ids(res, args.index)
     if args.output:
         res.to_csv(args.output, sep="\t", index=False)
         print(f"wrote {len(res)} rows to {args.output}")
@@ -111,18 +175,16 @@ def cmd_eval(args) -> int:
     from .pipelines.query import sample_queries
 
     params = BM25Params(method=args.method, k1=args.k1, b=args.b, delta=args.delta)
-    queries = sample_queries(_read_tsv(args.queries), args.samples)
-    qrels: dict[str, dict[str, int]] = {}
-    with open(args.qrels) as f:
-        for line in f:
-            parts = line.rstrip("\n").split("\t")
-            if len(parts) >= 3:
-                qrels.setdefault(parts[0], {})[parts[1]] = int(parts[2])
+    queries = sample_queries(_read_queries(args.queries), args.samples)
+    from .sources.beir import read_beir_qrels
+
+    qrels = read_beir_qrels(args.qrels)
     timer = Timer()
     timer.start("query")
     res = search(args.index, queries, params=params, k=args.top_k,
                  mode=args.query_mode).to_pandas()
     timer.stop("query", n_total=len(queries))
+    res = _maybe_ext_ids(res, args.index)
     ndcg, m, r, p = evaluate(
         qrels, results_table_to_eval(res), k_values=[1, 10, 100, 1000]
     )
@@ -158,7 +220,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("index")
     p.add_argument("--input", required=True)
     p.add_argument("--index", required=True)
-    p.add_argument("--mode", default="transcripts", choices=["transcripts", "documents"])
+    p.add_argument("--mode", default="transcripts",
+                   choices=["transcripts", "documents", "beir"])
     p.add_argument("--fresh", action="store_true")
     _common_index_args(p)
     p.set_defaults(fn=cmd_index)

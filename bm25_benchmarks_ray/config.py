@@ -30,6 +30,9 @@ class IndexConfig:
     stopwords: str = "en"          # "en" | "none"
     stemmer: str = "snowball"      # "snowball" | "none"
     lower: bool = True
+    # token splitter: "regex" (reference (?u)\b\w\w+\b) or "hf:<name>"
+    # (HuggingFace tokenizer — import-gated, §2.2 M9)
+    splitter: str = "regex"
 
     # doc_id = conv_base_offset + turn rank; salt = doc_id // salt_range.
     # salt_range doubles as the doc-range sharding unit of the index:
@@ -45,6 +48,12 @@ class IndexConfig:
 
     # parallelism hint for reads (None = let Ray decide)
     override_num_blocks: int | None = None
+
+    # concurrent group sub-pipelines during the build: one group's
+    # sort/merge barrier overlaps another's read/tokenize wave, so the
+    # cluster never idles between groups.  Each pipeline's tokenizer
+    # pool is sized to its 1/overlap share of the CPUs.
+    build_overlap: int = 2
 
     # reduce partitions for the groupby(term) shuffle (None = cluster
     # CPUs).  The sort shuffle's fixed cost grows with in-blocks ×
@@ -62,6 +71,7 @@ class IndexConfig:
             "stopwords": self.stopwords,
             "stemmer": self.stemmer,
             "lower": self.lower,
+            "splitter": self.splitter,
             "salt_range": self.salt_range,
             "block_size": self.block_size,
             "format": 3,

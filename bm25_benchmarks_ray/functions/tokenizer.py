@@ -64,18 +64,59 @@ def resolve_stemmer(stemmer: str | Callable | None) -> Callable[[str], str] | No
     raise ValueError(f"unrecognized stemmer spec: {stemmer!r}")
 
 
+def hf_splitter(name_or_path: str) -> Callable[[str], list[str]]:
+    """HuggingFace tokenizer as a splitter (the reference's alternative
+    tokenization path, /root/reference/utils/huggingface.py:2-17:
+    ``tokenizer(texts).input_ids`` without special tokens — here the
+    token *strings*, which the engine keys postings by).  Requires the
+    ``tokenizers`` package; import-gated because this container does not
+    ship it."""
+    try:
+        from tokenizers import Tokenizer
+    except ImportError as e:  # pragma: no cover - env without tokenizers
+        raise ImportError(
+            "HF tokenization needs the 'tokenizers' package, which is not "
+            "installed in this environment; use splitter='regex' or install it"
+        ) from e
+    tok = (
+        Tokenizer.from_file(name_or_path)
+        if name_or_path.endswith(".json")
+        else Tokenizer.from_pretrained(name_or_path)
+    )
+
+    def split(text: str) -> list[str]:
+        return tok.encode(text, add_special_tokens=False).tokens
+
+    return split
+
+
+def resolve_splitter(spec) -> Callable[[str], list[str]]:
+    """"regex" (default, the reference's ``(?u)\\b\\w\\w+\\b``),
+    "hf:<name-or-tokenizer.json>", or any ``str -> list[str]``
+    callable."""
+    if spec in (None, "regex"):
+        return TOKEN_RE.findall
+    if isinstance(spec, str) and spec.startswith("hf:"):
+        return hf_splitter(spec[3:])
+    if callable(spec):
+        return spec
+    raise ValueError(f"unrecognized splitter spec: {spec!r}")
+
+
 def tokenize_text(
     text: str,
     stopwords: frozenset[str] = STOPWORDS_EN,
     stemmer: Callable[[str], str] | None = porter2_stem,
     lower: bool = True,
+    splitter: Callable[[str], list[str]] | None = None,
 ) -> list[str]:
     """Tokenize one text to a list of (stemmed) term strings, preserving
     token order and multiplicity (query scoring is occurrence-weighted,
-    SURVEY.md §2.6)."""
+    SURVEY.md §2.6).  ``splitter`` swaps the regex split for an
+    alternative (e.g. :func:`hf_splitter`)."""
     if lower:
         text = text.lower()
-    tokens = TOKEN_RE.findall(text)
+    tokens = TOKEN_RE.findall(text) if splitter is None else splitter(text)
     if stopwords:
         tokens = [t for t in tokens if t not in stopwords]
     if stemmer is not None:

@@ -51,6 +51,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from ..compat import prime_fsspec_http
 from ..config import IndexConfig
 from ..stages.docids import assign_doc_ids, conv_offsets, conv_offsets_local
 from ..stages.segments import make_merge_runs, make_merge_runs_partial
@@ -168,12 +169,14 @@ def _group_doc_range(
     return (lo, hi) if hi - lo == g_rows else None
 
 
-def _tokenize_concurrency(cfg: IndexConfig) -> int | tuple[int, int]:
+def _tokenize_concurrency(cfg: IndexConfig, overlap: int = 1) -> int | tuple[int, int]:
     """Actor-pool size for the tokenizer: FIXED at cluster CPUs minus
     two unless pinned in config.  Fixed beats autoscale 2x here — the
     autoscaling pool ramps too slowly for a stage this hot — and the
     two-CPU slack keeps the downstream shuffle/write operators from
-    starving (a full-width fixed pool deadlock-stalls the pipeline)."""
+    starving (a full-width fixed pool deadlock-stalls the pipeline).
+    With ``overlap`` concurrent group pipelines, each gets its share so
+    the combined pools never claim the whole cluster."""
     if cfg.tokenize_concurrency is not None:
         return cfg.tokenize_concurrency
     import ray
@@ -182,7 +185,7 @@ def _tokenize_concurrency(cfg: IndexConfig) -> int | tuple[int, int]:
     # never the full cluster width: a full-width fixed pool starves the
     # downstream shuffle/write operators and stalls the pipeline (seen
     # hang indefinitely at num_cpus=2 with a width-2 pool)
-    return max(1, cpus - 2)
+    return max(1, (cpus - 2) // max(1, overlap))
 
 
 def _shuffle_partitions(cfg: IndexConfig) -> int:
@@ -198,7 +201,8 @@ def _shuffle_partitions(cfg: IndexConfig) -> int:
 
 
 def _build_group_segments(
-    ds: rd.Dataset, cfg: IndexConfig, out_dir: str, two_level: bool
+    ds: rd.Dataset, cfg: IndexConfig, out_dir: str, two_level: bool,
+    overlap: int = 1,
 ) -> None:
     """One group's pre-combined runs → merged segment rows → parquet
     (atomic).  The tokenizer emits one compressed run per (term, batch)
@@ -211,7 +215,7 @@ def _build_group_segments(
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
-        concurrency=_tokenize_concurrency(cfg),
+        concurrency=_tokenize_concurrency(cfg, overlap),
     )
     if two_level:
         runs = runs.groupby(["term", "salt"]).map_groups(
@@ -318,9 +322,20 @@ def build_index(
             man.mark_stage("offsets", n_convs=len(offsets))
 
     # -- stage: per-group segment builds ------------------------------
-    for gid, file_idx in enumerate(groups):
-        if man.group_done(gid):
-            continue
+    # groups overlap (cfg.build_overlap concurrent sub-pipelines): one
+    # group's sort/merge barrier runs under another's read/tokenize
+    # wave, so CPUs never idle between groups.  Checkpoint semantics
+    # are unchanged — each group is marked done only after its atomic
+    # segment write.
+    pending = [(g, fi) for g, fi in enumerate(groups) if not man.group_done(g)]
+    overlap = max(1, min(cfg.build_overlap, len(pending)))
+    if overlap > 1:
+        prime_fsspec_http()  # threaded path resolution races otherwise
+    import threading
+
+    man_lock = threading.Lock()
+
+    def _build_one(gid: int, file_idx: list[int]) -> None:
         t0 = time.perf_counter()
         g_files = [files[i] for i in file_idx]
         g_rows = sum(rows[i] for i in file_idx)
@@ -340,19 +355,30 @@ def build_index(
         # + ~4M-doc groups that needs an extreme salt_range/group ratio
         two_level = g_rows > cfg.salt_range * 64
         g_dir = os.path.join(index_dir, SEGMENTS_DIR, f"group={gid}")
-        _build_group_segments(ds, cfg, g_dir, two_level)
+        _build_group_segments(ds, cfg, g_dir, two_level, overlap=overlap)
         metrics = _group_metrics(g_dir)
         rng = _group_doc_range(g_files, g_rows, mode, offsets)
-        man.mark_group(
-            gid,
-            input_files=[os.path.basename(f) for f in g_files],
-            n_docs=g_rows,
-            doc_lo=rng[0] if rng else None,
-            doc_hi=rng[1] if rng else None,
-            two_level=two_level,
-            wall_s=round(time.perf_counter() - t0, 3),
-            **metrics,
-        )
+        with man_lock:
+            man.mark_group(
+                gid,
+                input_files=[os.path.basename(f) for f in g_files],
+                n_docs=g_rows,
+                doc_lo=rng[0] if rng else None,
+                doc_hi=rng[1] if rng else None,
+                two_level=two_level,
+                wall_s=round(time.perf_counter() - t0, 3),
+                **metrics,
+            )
+
+    if overlap == 1:
+        for gid, file_idx in pending:
+            _build_one(gid, file_idx)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=overlap) as ex:
+            for f in [ex.submit(_build_one, g, fi) for g, fi in pending]:
+                f.result()
 
     # -- stage: finalize (global vocab/df + corpus stats) -------------
     if not man.stage_done("finalize"):

@@ -85,10 +85,20 @@ def sample_queries(
 def tokenize_queries(
     queries: list[tuple[str, str]], cfg: IndexConfig
 ) -> list[tuple[str, Counter]]:
+    from ..functions.tokenizer import resolve_splitter
+
     sw = resolve_stopwords(cfg.stopwords)
     st = resolve_stemmer(cfg.stemmer)
+    sp = resolve_splitter(getattr(cfg, "splitter", "regex"))
     return [
-        (qid, Counter(tokenize_text(text, stopwords=sw, stemmer=st, lower=cfg.lower)))
+        (
+            qid,
+            Counter(
+                tokenize_text(
+                    text, stopwords=sw, stemmer=st, lower=cfg.lower, splitter=sp
+                )
+            ),
+        )
         for qid, text in queries
     ]
 
@@ -162,22 +172,27 @@ def _topk_ties(doc: np.ndarray, score: np.ndarray, k: int) -> tuple[np.ndarray, 
 
 def _lowest_unmatched(matched: np.ndarray, lo: int, hi: int, k: int) -> np.ndarray:
     """First k doc ids in [lo, hi) absent from sorted-unique ``matched``
-    (all assumed within [lo, hi)).  Walks the ≤k+1 leading gap runs."""
+    (all assumed within [lo, hi)).  Fully vectorized over the gap runs
+    between matched ids (k=1000 × many queries per task is hot)."""
     if k <= 0 or hi <= lo:
         return np.empty(0, dtype=np.int64)
-    starts = np.concatenate(([lo], matched.astype(np.int64) + 1))
-    ends = np.concatenate((matched.astype(np.int64), [hi]))
-    out: list[np.ndarray] = []
-    got = 0
-    for s, e in zip(starts, ends):
-        if e <= s:
-            continue
-        take = min(int(e - s), k - got)
-        out.append(np.arange(s, s + take, dtype=np.int64))
-        got += take
-        if got >= k:
-            break
-    return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+    m = matched.astype(np.int64)
+    starts = np.concatenate(([lo], m + 1))
+    ends = np.concatenate((m, [hi]))
+    sizes = np.maximum(ends - starts, 0)
+    csum = np.cumsum(sizes)
+    cut = int(np.searchsorted(csum, k))  # first run where cumulative >= k
+    starts, sizes = starts[: cut + 1], sizes[: cut + 1].copy()
+    if sizes.size == 0 or csum.size == 0:
+        return np.empty(0, dtype=np.int64)
+    got_before = int(csum[cut - 1]) if cut > 0 else 0
+    if cut < csum.size:
+        sizes[-1] = min(sizes[-1], k - got_before)
+    total = int(sizes.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    run_off = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    return np.repeat(starts - run_off, sizes) + np.arange(total, dtype=np.int64)
 
 
 class _DecodeCache:

@@ -21,7 +21,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import IndexConfig
-from ..functions.tokenizer import TOKEN_RE, resolve_stemmer, resolve_stopwords
+from ..functions.tokenizer import (
+    TOKEN_RE,
+    resolve_splitter,
+    resolve_stemmer,
+    resolve_stopwords,
+)
 
 POSTINGS_SCHEMA = pa.schema(
     [
@@ -38,7 +43,7 @@ class TokenizePostings:
     """map_batches callable class (actor pool)."""
 
     def __init__(self, config: IndexConfig):
-        self.findall = TOKEN_RE.findall
+        self.findall = resolve_splitter(getattr(config, "splitter", "regex"))
         self.stopwords = resolve_stopwords(config.stopwords)
         self.stemmer = resolve_stemmer(config.stemmer)
         self.lower = config.lower

@@ -1,0 +1,109 @@
+"""BEIR-format ingestion end-to-end: corpus.jsonl → parquet + docmap →
+documents-mode index → CLI query/eval with external string ids."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+def _write_beir(d: str, n: int = 30, sub: str | None = None) -> None:
+    root = os.path.join(d, sub) if sub else d
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "corpus.jsonl"), "w") as f:
+        for i in range(n):
+            f.write(
+                json.dumps(
+                    {
+                        "_id": f"DOC-{i:03d}",
+                        "title": f"topic{i % 5}",
+                        "text": f"document body number {i} about topic{i % 5} "
+                                f"with unique term zq{i}",
+                    }
+                )
+                + "\n"
+            )
+    if sub:
+        return
+    with open(os.path.join(d, "queries.jsonl"), "w") as f:
+        f.write(json.dumps({"_id": "q1", "text": "topic1 body"}) + "\n")
+        f.write(json.dumps({"_id": "q2", "text": "zq7 unique"}) + "\n")
+    os.makedirs(os.path.join(d, "qrels"), exist_ok=True)
+    with open(os.path.join(d, "qrels", "test.tsv"), "w") as f:
+        f.write("query-id\tcorpus-id\tscore\n")
+        f.write("q1\tDOC-001\t1\n")
+        f.write("q2\tDOC-007\t1\n")
+
+
+def test_corpus_projection_and_docmap(ray_session, tmp_path):
+    from bm25_benchmarks_ray.sources.beir import (
+        beir_corpus_to_parquet,
+        load_docmap,
+        read_beir_corpus,
+    )
+
+    beir = str(tmp_path / "ds")
+    _write_beir(beir)
+    rows = read_beir_corpus(beir).to_pandas().sort_values("ext_id")
+    assert len(rows) == 30
+    assert rows.iloc[1]["ext_id"] == "DOC-001"
+    assert rows.iloc[1]["text"].startswith("topic1 document body number 1")
+
+    out = str(tmp_path / "pq")
+    beir_corpus_to_parquet(beir, out)
+    dm = load_docmap(out)
+    assert list(dm["doc_id"]) == list(range(30))
+    assert dm["ext_id"].is_monotonic_increasing
+
+
+def test_cqadupstack_union_prefixes(ray_session, tmp_path):
+    from bm25_benchmarks_ray.sources.beir import read_beir_corpus
+
+    beir = str(tmp_path / "cqa")
+    _write_beir(beir, n=4, sub="android")
+    _write_beir(beir, n=3, sub="gis")
+    rows = read_beir_corpus(beir).to_pandas()
+    assert len(rows) == 7
+    assert set(e.split("_")[0] for e in rows["ext_id"]) == {"android", "gis"}
+
+
+def test_qrels_and_queries_readers(tmp_path):
+    from bm25_benchmarks_ray.sources.beir import read_beir_qrels, read_beir_queries
+
+    beir = str(tmp_path / "ds")
+    _write_beir(beir)
+    qs = read_beir_queries(beir)
+    assert qs == [("q1", "topic1 body"), ("q2", "zq7 unique")]
+    qrels = read_beir_qrels(beir)  # header skipped
+    assert qrels == {"q1": {"DOC-001": 1}, "q2": {"DOC-007": 1}}
+
+
+def test_cli_beir_index_query_eval(ray_session, tmp_path, capsys):
+    from bm25_benchmarks_ray.cli import main
+
+    beir = str(tmp_path / "ds")
+    _write_beir(beir)
+    idx = str(tmp_path / "idx")
+    assert main(["index", "--mode", "beir", "--input", beir, "--index", idx]) == 0
+    out_tsv = str(tmp_path / "res.tsv")
+    assert main(
+        ["query", "--index", idx, "--queries", os.path.join(beir, "queries.jsonl"),
+         "--output", out_tsv, "--top-k", "5"]
+    ) == 0
+    import pandas as pd
+
+    res = pd.read_csv(out_tsv, sep="\t")
+    assert res["doc_id"].str.startswith("DOC-").all()  # external ids
+    # q2 asks for the zq7 unique term: DOC-007 must be rank 1
+    top = res[(res["qid"] == "q2") & (res["rank"] == 1)]
+    assert list(top["doc_id"]) == ["DOC-007"]
+    capsys.readouterr()
+    assert main(
+        ["eval", "--index", idx, "--queries", beir,
+         "--qrels", os.path.join(beir, "qrels", "test.tsv")]
+    ) == 0
+    scores = json.loads(capsys.readouterr().out)
+    # both judged docs are findable at rank 1 → perfect ndcg@10
+    assert scores["ndcg"]["NDCG@10"] == 1.0

@@ -138,3 +138,36 @@ def test_union_of_segments_equals_single(seed):
     assert set(merged) == set(whole)
     for d in whole:
         assert abs(whole[d] - merged[d]) < 1e-12
+
+
+def test_lowest_unmatched_matches_naive():
+    """Vectorized gap-run padding == naive scan, randomized."""
+    import numpy as np
+
+    from bm25_benchmarks_ray.pipelines.query import _lowest_unmatched
+
+    def naive(matched, lo, hi, k):
+        s = set(matched.tolist())
+        out = []
+        for d in range(lo, hi):
+            if len(out) >= k:
+                break
+            if d not in s:
+                out.append(d)
+        return np.array(out, dtype=np.int64)
+
+    rng = np.random.RandomState(7)
+    for _ in range(300):
+        lo = rng.randint(0, 50)
+        hi = lo + rng.randint(0, 60)
+        k = rng.randint(0, 15)
+        if hi > lo:
+            n = rng.randint(0, hi - lo + 1)
+            matched = np.sort(
+                rng.choice(np.arange(lo, hi), size=min(n, hi - lo), replace=False)
+            )
+        else:
+            matched = np.empty(0, dtype=np.int64)
+        np.testing.assert_array_equal(
+            _lowest_unmatched(matched, lo, hi, k), naive(matched, lo, hi, k)
+        )

@@ -99,3 +99,39 @@ class TestStemming:
     def test_single_char_only_doc_is_empty(self):
         tf, dl = term_frequencies("x y z 1 2")
         assert dl == 0 and not tf
+
+
+def test_resolve_splitter_paths():
+    from bm25_benchmarks_ray.functions.tokenizer import (
+        resolve_splitter,
+        tokenize_text,
+    )
+
+    assert resolve_splitter("regex")("big cats") == ["big", "cats"]
+    custom = resolve_splitter(lambda t: t.split("|"))
+    assert custom("ab|cd") == ["ab", "cd"]
+    assert tokenize_text(
+        "Keep|the|tokens", stopwords=frozenset({"the"}), stemmer=None,
+        splitter=lambda t: t.split("|"),
+    ) == ["keep", "tokens"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resolve_splitter("bogus")
+
+
+def test_hf_splitter_import_gated():
+    """No tokenizers package in this container: the HF path must fail
+    with a clear ImportError, not an AttributeError deep in the stage."""
+    import pytest as _pytest
+
+    from bm25_benchmarks_ray.functions.tokenizer import resolve_splitter
+
+    try:
+        import tokenizers  # noqa: F401
+
+        _pytest.skip("tokenizers installed here")
+    except ImportError:
+        pass
+    with _pytest.raises(ImportError, match="tokenizers"):
+        resolve_splitter("hf:bert-base-uncased")

@@ -144,9 +144,18 @@ def score_query_pruned(
             base = tf_shape(params, tf, dl, avgdl) - s0 if doc.size else None
         elif full_decode is not None:
             doc, base = full_decode(row)
-            if prune_active and w > 0 and gmax[i] + rem[pos + 1] < threshold:
-                keep = np.isin(doc, cand_doc, assume_unique=True)
-                doc, base = doc[keep], base[keep]
+            if (
+                doc.size
+                and prune_active
+                and w > 0
+                and gmax[i] + rem[pos + 1] < threshold
+            ):
+                # cached full list, candidates-only semantics: both sides
+                # sorted → searchsorted membership, not an O(n log n) isin
+                idx = np.searchsorted(doc, cand_doc)
+                idx = np.minimum(idx, doc.size - 1)
+                hit = doc[idx] == cand_doc
+                doc, base = cand_doc[hit], base[idx[hit]]
         else:
             doc, tf, dl = decode_segment(row, block_size, lo, hi)
             base = tf_shape(params, tf, dl, avgdl) - s0 if doc.size else None

@@ -107,3 +107,30 @@ def test_cli_beir_index_query_eval(ray_session, tmp_path, capsys):
     scores = json.loads(capsys.readouterr().out)
     # both judged docs are findable at rank 1 → perfect ndcg@10
     assert scores["ndcg"]["NDCG@10"] == 1.0
+
+
+def test_pyserini_export_roundtrip(ray_session, tmp_path):
+    """Pyserini JsonCollection export: one {"id","contents"} record per
+    doc, readable back as JSONL."""
+    import glob
+    import json as _json
+
+    import ray.data as rd
+
+    from bm25_benchmarks_ray.sources.export import export_pyserini_jsonl
+
+    ds = rd.from_items(
+        [{"doc_id": i, "text": f"text number {i}"} for i in range(25)]
+    ).repartition(3)
+    out = str(tmp_path / "pyserini")
+    export_pyserini_jsonl(ds, out)
+    rows = []
+    for f in glob.glob(out + "/*.json*"):
+        with open(f) as fh:
+            for line in fh:
+                if line.strip():
+                    rows.append(_json.loads(line))
+    assert len(rows) == 25
+    assert sorted(int(r["id"]) for r in rows) == list(range(25))
+    assert all(set(r) == {"id", "contents"} for r in rows)
+    assert rows[0]["contents"].startswith("text number")

@@ -63,3 +63,16 @@ def test_union_of_group_searches_equals_full(built):
 def test_groups_validation(built):
     with pytest.raises(ValueError):
         search(built, [("q", "hello")], groups=[99]).to_pandas()
+
+
+def test_scatter_shape_overrides_equal_results(built):
+    """Explicit n_qbatch/n_slices produce identical rankings to auto."""
+    import pandas as pd
+
+    queries = synthesize_queries(10, seed=31)
+    base = search(built, queries, k=5).to_pandas().sort_values(
+        ["qid", "rank"]).reset_index(drop=True)
+    for qb, sl in [(1, 4), (2, 2), (4, 1)]:
+        alt = search(built, queries, k=5, n_qbatch=qb, n_slices=sl).to_pandas()
+        alt = alt.sort_values(["qid", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(base, alt)

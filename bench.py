@@ -91,6 +91,20 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
             lats.append(time.perf_counter() - t0)
         lats = np.array(lats)
 
+        # persistent serving actors (pipelines/serve.py): the
+        # low-latency path — same score_range core, rank-identical
+        from bm25_benchmarks_ray.pipelines.serve import BM25Server
+
+        srv = BM25Server(idx, params=params)
+        srv.warm(queries)
+        served = []
+        for q in queries[:lat_sample]:
+            t0 = time.perf_counter()
+            srv.search([q], k=10)
+            served.append(time.perf_counter() - t0)
+        srv.close()
+        served = np.array(served)
+
         # supplementary large-corpus index measurement: the sf0.1 corpus
         # (120k turns) is fixed-overhead-dominated; a 1.2M-turn build
         # shows the streaming pipeline's real throughput (skipped when
@@ -128,6 +142,8 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
             "n_result_rows_k1000": int(n_res_1k),
             "query_p50_s": round(float(np.percentile(lats, 50)), 4),
             "query_p99_s": round(float(np.percentile(lats, 99)), 4),
+            "query_served_p50_s": round(float(np.percentile(served, 50)), 4),
+            "query_served_p99_s": round(float(np.percentile(served, 99)), 4),
             **large,
         }
     finally:

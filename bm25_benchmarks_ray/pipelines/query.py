@@ -109,18 +109,28 @@ def _query_plan(
     params: BM25Params,
     num_docs: int,
     avg_idf: float | None = None,
+    df_cache: dict[str, int | None] | None = None,
 ) -> dict:
     """Driver-side query structure: per-term (query, weight·idf) fanout +
     per-query constants.  df lookups are a term-pruned vocab read.
     ``avg_idf``: vocab-wide mean robertson idf (manifest stats), needed
-    only by okapi's epsilon floor."""
+    only by okapi's epsilon floor.  ``df_cache``: caller-owned term→df
+    memo (None = known-absent) so a persistent server reads the vocab
+    only for never-seen terms."""
     terms = sorted({t for _, c in tokenized for t in c})
     df_map: dict[str, int] = {}
-    if terms:
+    lookup = [t for t in terms if df_cache is None or t not in df_cache]
+    if df_cache is not None:
+        df_map = {t: df_cache[t] for t in terms if df_cache.get(t) is not None}
+    if lookup:
         v = pads.dataset(os.path.join(index_dir, VOCAB_DIR)).to_table(
-            columns=["term", "df"], filter=pc.field("term").isin(terms)
+            columns=["term", "df"], filter=pc.field("term").isin(lookup)
         )
-        df_map = dict(zip(v.column("term").to_pylist(), v.column("df").to_pylist()))
+        fresh = dict(zip(v.column("term").to_pylist(), v.column("df").to_pylist()))
+        df_map.update(fresh)
+        if df_cache is not None:
+            for t in lookup:
+                df_cache[t] = fresh.get(t)
     if params.method == "okapi" and params.epsilon != 0.0 and avg_idf is None:
         from ..functions.bm25 import avg_robertson_idf
 
@@ -226,6 +236,114 @@ class _DecodeCache:
         return hit
 
 
+def score_range(
+    plan: dict,
+    rows_by_term: dict[str, dict],
+    params: BM25Params,
+    avgdl: float,
+    k: int,
+    block_size: int,
+    lo: int,
+    hi: int,
+    q_lo: int,
+    q_hi: int,
+    prune: bool,
+    dense_pad: bool,
+    decoded,
+) -> tuple[list[np.ndarray], list[np.ndarray], list[np.ndarray]]:
+    """Score queries [q_lo, q_hi) of ``plan`` against one doc range
+    given the range's segment rows; the shared core of the Ray Data
+    scatter task and the persistent serving actors.  ``decoded`` is a
+    _DecodeCache(-compatible) full-decode hook for this exact range."""
+    from ..stages.blockmax import score_query_pruned
+
+    out_qi: list[np.ndarray] = []
+    out_doc: list[np.ndarray] = []
+    out_score: list[np.ndarray] = []
+
+    q_terms: dict[int, list] = {}
+    q_weights: dict[int, list[float]] = {}
+    for term, fanout in plan["term_fanout"].items():
+        row = rows_by_term.get(term)
+        if row is None:
+            continue
+        for qi, w_idf in fanout:
+            if q_lo <= qi < q_hi:
+                q_terms.setdefault(qi, []).append(row)
+                q_weights.setdefault(qi, []).append(w_idf)
+
+    def emit(qi: int, doc: np.ndarray, score: np.ndarray) -> None:
+        if doc.size:
+            out_qi.append(np.full(doc.size, qi, dtype=np.int32))
+            out_doc.append(doc)
+            out_score.append(score)
+
+    for qi in range(q_lo, q_hi):
+        rows = q_terms.get(qi)
+        ws = q_weights.get(qi, [])
+        qc = float(plan["qconst"][qi])
+        # strict positivity: a w == 0 term (atire idf at df == N) can
+        # leave matched docs tied AT qconst, where unmatched lower ids
+        # win — those queries go exhaustive too
+        if rows and prune and all(w > 0 for w in ws):
+            doc, score = score_query_pruned(
+                rows, ws, params, avgdl, k, block_size, lo, hi, qc,
+                full_decode=decoded,
+            )
+            if doc.size >= k:
+                # k matched at strictly > qconst: padding can never be
+                # needed for this query globally
+                emit(qi, doc, score)
+                continue
+            matched, m_score = doc, score  # <k ⇒ never pruned ⇒ full set
+        elif rows:
+            # exhaustive accumulation (exhaustive mode, or a
+            # negative-weight query): full matched set
+            parts_d, parts_v = [], []
+            for row, w in zip(rows, ws):
+                d, base = decoded(row)
+                if d.size:
+                    parts_d.append(d)
+                    parts_v.append(w * base)
+            if parts_d:
+                alld = np.concatenate(parts_d)
+                uniq, inv = np.unique(alld, return_inverse=True)
+                sums = np.bincount(inv, weights=np.concatenate(parts_v)) + qc
+                matched, m_score = uniq, sums
+            else:
+                matched = np.empty(0, dtype=np.int64)
+                m_score = np.empty(0, dtype=np.float64)
+        else:
+            if not dense_pad:
+                continue
+            matched = np.empty(0, dtype=np.int64)
+            m_score = np.empty(0, dtype=np.float64)
+        t_doc, t_score = _topk_ties(matched, m_score, k)
+        if dense_pad:
+            pad = _lowest_unmatched(matched, lo, hi, k)
+            if pad.size:
+                t_doc, t_score = _topk_ties(
+                    np.concatenate([t_doc, pad]),
+                    np.concatenate(
+                        [t_score, np.full(pad.size, qc, dtype=np.float64)]
+                    ),
+                    k,
+                )
+        emit(qi, t_doc, t_score)
+    return out_qi, out_doc, out_score
+
+
+def query_plan_terms(plan: dict, q_lo: int, q_hi: int) -> list[str]:
+    """Sorted in-vocab terms any query in [q_lo, q_hi) needs."""
+    return sorted(
+        {
+            t
+            for t, fl in plan["term_fanout"].items()
+            if any(q_lo <= qi < q_hi for qi, _ in fl)
+        }
+    )
+
+
 def make_score_slice(
     plan_ref,
     params: BM25Params,
@@ -260,19 +378,10 @@ def make_score_slice(
     s0 = nonoccurrence_shape(params)
 
     def score_slice(batch: pa.Table) -> pa.Table:
-        from ..stages.blockmax import score_query_pruned
-        from ..stages.segments import decode_segment
-
         plan = ray.get(plan_ref)
         out_qi: list[np.ndarray] = []
         out_doc: list[np.ndarray] = []
         out_score: list[np.ndarray] = []
-
-        def emit(qi: int, doc: np.ndarray, score: np.ndarray) -> None:
-            if doc.size:
-                out_qi.append(np.full(doc.size, qi, dtype=np.int32))
-                out_doc.append(doc)
-                out_score.append(score)
 
         for group_dir, lo, hi, q_lo, q_hi in zip(
             batch.column("group_dir").to_pylist(),
@@ -281,13 +390,7 @@ def make_score_slice(
             batch.column("q_lo").to_pylist(),
             batch.column("q_hi").to_pylist(),
         ):
-            terms_here = sorted(
-                {
-                    t
-                    for t, fl in plan["term_fanout"].items()
-                    if any(q_lo <= qi < q_hi for qi, _ in fl)
-                }
-            )
+            terms_here = query_plan_terms(plan, q_lo, q_hi)
             rows_by_term: dict[str, dict] = {}
             if terms_here:
                 seg = pads.dataset(group_dir).to_table(
@@ -296,73 +399,16 @@ def make_score_slice(
                 rows_by_term = {r["term"]: r for r in seg.to_pylist()}
             if not rows_by_term and not dense_pad:
                 continue
-            q_terms: dict[int, list] = {}
-            q_weights: dict[int, list[float]] = {}
-            for term, fanout in plan["term_fanout"].items():
-                row = rows_by_term.get(term)
-                if row is None:
-                    continue
-                for qi, w_idf in fanout:
-                    if q_lo <= qi < q_hi:
-                        q_terms.setdefault(qi, []).append(row)
-                        q_weights.setdefault(qi, []).append(w_idf)
-
             # decoded (doc, tf_shape - s0) per term, shared across every
             # query in this task — hot terms decode once, not per query
             decoded = _DecodeCache(block_size, lo, hi, params, avgdl, s0)
-
-            for qi in range(q_lo, q_hi):
-                rows = q_terms.get(qi)
-                ws = q_weights.get(qi, [])
-                qc = float(plan["qconst"][qi])
-                # strict positivity: a w == 0 term (atire idf at df == N)
-                # can leave matched docs tied AT qconst, where unmatched
-                # lower ids win — those queries go exhaustive too
-                if rows and prune and all(w > 0 for w in ws):
-                    doc, score = score_query_pruned(
-                        rows, ws, params, avgdl, k, block_size, lo, hi, qc,
-                        full_decode=decoded,
-                    )
-                    if doc.size >= k:
-                        # k matched at strictly > qconst: padding can
-                        # never be needed for this query globally
-                        emit(qi, doc, score)
-                        continue
-                    matched, m_score = doc, score  # <k ⇒ never pruned ⇒ full set
-                elif rows:
-                    # exhaustive accumulation (exhaustive mode, or a
-                    # negative-weight query): full matched set
-                    parts_d, parts_v = [], []
-                    for row, w in zip(rows, ws):
-                        d, base = decoded(row)
-                        if d.size:
-                            parts_d.append(d)
-                            parts_v.append(w * base)
-                    if parts_d:
-                        alld = np.concatenate(parts_d)
-                        uniq, inv = np.unique(alld, return_inverse=True)
-                        sums = np.bincount(inv, weights=np.concatenate(parts_v)) + qc
-                        matched, m_score = uniq, sums
-                    else:
-                        matched = np.empty(0, dtype=np.int64)
-                        m_score = np.empty(0, dtype=np.float64)
-                else:
-                    if not dense_pad:
-                        continue
-                    matched = np.empty(0, dtype=np.int64)
-                    m_score = np.empty(0, dtype=np.float64)
-                t_doc, t_score = _topk_ties(matched, m_score, k)
-                if dense_pad:
-                    pad = _lowest_unmatched(matched, lo, hi, k)
-                    if pad.size:
-                        t_doc, t_score = _topk_ties(
-                            np.concatenate([t_doc, pad]),
-                            np.concatenate(
-                                [t_score, np.full(pad.size, qc, dtype=np.float64)]
-                            ),
-                            k,
-                        )
-                emit(qi, t_doc, t_score)
+            qis, docs, scores = score_range(
+                plan, rows_by_term, params, avgdl, k, block_size,
+                lo, hi, q_lo, q_hi, prune, dense_pad, decoded,
+            )
+            out_qi += qis
+            out_doc += docs
+            out_score += scores
         if not out_qi:
             return _EMPTY_PARTIALS
         return pa.table(

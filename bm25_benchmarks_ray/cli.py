@@ -200,6 +200,48 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Serve queries through the persistent actor pool (pipelines/
+    serve.py): answers each query individually and reports latency —
+    the interactive loaded-model path."""
+    import time
+
+    import numpy as np
+
+    from .functions.bm25 import BM25Params
+    from .pipelines.serve import BM25Server
+
+    _init_ray(args.num_cpus)
+    params = BM25Params(method=args.method, k1=args.k1, b=args.b, delta=args.delta)
+    queries = _read_queries(args.queries)
+    srv = BM25Server(args.index, params=params)
+    try:
+        if args.warm:
+            srv.warm(queries)
+        frames, lats = [], []
+        for q in queries:
+            t0 = time.perf_counter()
+            frames.append(srv.search([q], k=args.top_k))
+            lats.append(time.perf_counter() - t0)
+        import pandas as pd
+
+        res = _maybe_ext_ids(pd.concat(frames, ignore_index=True), args.index)
+        if args.output:
+            res.to_csv(args.output, sep="\t", index=False)
+        lats_np = np.array(lats)
+        print(json.dumps({
+            "queries": len(queries),
+            "p50_ms": round(float(np.percentile(lats_np, 50)) * 1000, 2),
+            "p99_ms": round(float(np.percentile(lats_np, 99)) * 1000, 2),
+            "mean_ms": round(float(lats_np.mean()) * 1000, 2),
+            "warmed": bool(args.warm),
+            "rows": len(res),
+        }))
+    finally:
+        srv.close()
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
 
@@ -240,6 +282,15 @@ def main(argv=None) -> int:
     p.add_argument("--result-dir", default=None)
     _bm25_args(p)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("serve")
+    p.add_argument("--index", required=True)
+    p.add_argument("--queries", required=True)
+    p.add_argument("--output", default=None)
+    p.add_argument("--warm", action="store_true",
+                   help="pre-decode the workload's terms before timing")
+    _bm25_args(p)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench")
     p.add_argument("--sf", type=float, default=None)

@@ -172,6 +172,31 @@ def q_bm25_topk(sf_dir: str, method: str, k: int = 10):
     )
 
 
+def q_bm25_served(sf_dir: str, method: str = "lucene", k: int = 10):
+    """The persistent-actor serving path (pipelines/serve.py) over the
+    same index and query set as q_bm25_topk — rank-identical by
+    construction (shared score_range core), so it shares the batch
+    pipeline's SQL oracle."""
+    from .pipelines.serve import BM25Server
+
+    idx = documents_index(sf_dir)
+    with BM25Server(
+        idx, params=BM25Params(method=method), cfg=SQL_CFG, join_back=False
+    ) as srv:
+        res = srv.search(DOC_QUERIES, k=k)
+    res["score"] = res["score"].round(6)
+    res = res.sort_values(["qid", "score", "doc_id"], ascending=[True, False, True])
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    return pa.table(
+        {
+            "qid": pa.array(res["qid"], type=pa.string()),
+            "doc_id": pa.array(res["doc_id"], type=pa.int64()),
+            "rank": pa.array(res["rank"].astype(np.int64)),
+            "score": pa.array(res["score"], type=pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------
 # training-data extensions: dedup, similarity, text analysis
 # ---------------------------------------------------------------------
@@ -680,6 +705,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk_bm25l": bm25_topk_sql("bm25l"),
     "bm25_topk_bm25plus": bm25_topk_sql("bm25+"),
     "bm25_topk_okapi": bm25_topk_sql("okapi"),
+    "bm25_served_lucene": bm25_topk_sql("lucene"),
     "dedup_exact": DEDUP_EXACT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "embed_cosine_topk": EMBED_TOPK_SQL,
@@ -719,6 +745,7 @@ def build_queries() -> dict:
         ("bm25_topk_okapi", "okapi"),
     ]:
         q[name] = (lambda m: lambda sf_dir: q_bm25_topk(sf_dir, m))(method)
+    q["bm25_served_lucene"] = q_bm25_served
     q.update(
         {
             "dedup_exact": q_dedup_exact,

@@ -71,3 +71,23 @@ def test_warm_then_fast_path(built):
         srv.warm(queries)
         out = srv.search(queries, k=5)
         assert len(out) == 10 * 5
+
+
+def test_cli_serve(built, tmp_path, capsys):
+    import json
+
+    from bm25_benchmarks_ray.cli import main
+
+    qfile = str(tmp_path / "q.tsv")
+    with open(qfile, "w") as f:
+        f.write("qa\tdata build stream\nqb\tshuffle merge\n")
+    out_tsv = str(tmp_path / "served.tsv")
+    rc = main(["serve", "--index", built, "--queries", qfile,
+               "--output", out_tsv, "--warm", "--top-k", "4"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["queries"] == 2 and stats["rows"] == 8 and stats["warmed"]
+    import pandas as pd
+
+    res = pd.read_csv(out_tsv, sep="\t")
+    assert set(res["qid"]) == {"qa", "qb"}

@@ -4,10 +4,11 @@ Default single-run mode prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {phase: sec, ...}, "sf": ..., "num_cpus": N, ...}
 
---scaling runs the same job in two fresh processes (RAY_GRAFT_CPUS=8
-and =32) on the same input and reports both throughputs plus scaling
-efficiency = (tp32/tp8)/(32/8) — the sandbox evidence for the
-two-cluster-size criterion (BASELINE.md).
+--scaling runs the same job in two fresh processes (default
+RAY_GRAFT_CPUS=4 then =16; see run_scaling's docstring for why 4→16 is
+the honest single-box N→4N pair) on the same input and reports both
+throughputs plus scaling efficiency = (tp_hi/tp_lo)/(hi/lo) — the
+sandbox evidence for the two-cluster-size criterion (BASELINE.md).
 
 Phases (mirroring the reference's timed lifecycle, SURVEY.md §3.1):
   index      build the inverted index over synthetic transcripts at the
@@ -150,7 +151,7 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
         ray.shutdown()
 
 
-def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32,
+def run_scaling(sf_dir: str, cpus_lo: int = 4, cpus_hi: int = 16,
                 scaling_sf: float = 8.0) -> dict:
     """Fresh process per parallelism level; same input.
 
@@ -159,6 +160,15 @@ def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32,
     overhead, so N-vs-4N throughput is meaningless there.  The 9.6M-turn
     corpus (~290M postings) gives each parallelism level real work to
     chew while staying a few minutes wall.
+
+    Default pair is 4→16 CPUs: the N→4N criterion assumes constant
+    per-node resources, and on ONE box a 32-CPU leg occupies every
+    physical core — it gets throttled by box-wide DRAM bandwidth that a
+    real 4x-node cluster would multiply, while the low leg enjoys 4x its
+    fair per-core share (measured: an "8-CPU" index leg can hit the
+    32-CPU leg's absolute rate).  At 4→16 the high leg still has box
+    headroom, making it the honest single-box emulation (BASELINE.md
+    records both pairs).  Override with --cpus-lo/--cpus-hi.
     """
     results = {}
     for cpus in (cpus_lo, cpus_hi):
@@ -201,8 +211,8 @@ def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--cpus-lo", type=int, default=8)
-    ap.add_argument("--cpus-hi", type=int, default=32)
+    ap.add_argument("--cpus-lo", type=int, default=4)
+    ap.add_argument("--cpus-hi", type=int, default=16)
     ap.add_argument("--scaling-sf", type=float, default=8.0)
     args = ap.parse_args()
     sf_dir = os.environ.get("GRAFT_SF_DIR", SF_DIR_DEFAULT)

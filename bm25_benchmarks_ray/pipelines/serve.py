@@ -188,6 +188,25 @@ class BM25Server:
         terms = query_plan_terms(plan, 0, len(plan["qids"]))
         ray.get([a.warm.remote(terms) for a in self.actors])
 
+    def warm_top_df(self, n: int = 1000) -> None:
+        """Pre-decode the n highest-df vocab terms — the terms most
+        likely to appear in unseen queries (and the most expensive to
+        decode cold)."""
+        import os
+
+        from .index_build import VOCAB_DIR
+
+        v = pads.dataset(os.path.join(self.index_dir, VOCAB_DIR)).to_table(
+            columns=["term", "df"]
+        )
+        df = v.column("df").to_numpy()
+        take = min(n, df.size)
+        if take == 0:
+            return
+        top = np.argpartition(-df, take - 1)[:take]
+        terms = [v.column("term")[int(i)].as_py() for i in top]
+        ray.get([a.warm.remote(terms) for a in self.actors])
+
     def _plan(self, queries: list[tuple[str, str]]) -> dict:
         tokenized = tokenize_queries(queries, self.cfg)
         return _query_plan(

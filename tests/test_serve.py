@@ -91,3 +91,10 @@ def test_cli_serve(built, tmp_path, capsys):
 
     res = pd.read_csv(out_tsv, sep="\t")
     assert set(res["qid"]) == {"qa", "qb"}
+
+
+def test_warm_top_df(built):
+    with BM25Server(built) as srv:
+        srv.warm_top_df(50)
+        out = srv.search([("q", "data build")], k=3)
+        assert len(out) == 3

@@ -46,34 +46,23 @@ def decode_candidate_blocks(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode only the blocks that can contain candidate docs, then
     restrict to the candidates themselves.  Returns (doc, tf, dl) for
-    postings whose doc is in ``cand`` (sorted)."""
+    postings whose doc is in ``cand`` (sorted).  All selected blocks
+    decode in ONE varint pass per stream (decode_selected_blocks) —
+    per-run decode calls used to dominate pruned-query profiles."""
+    from .segments import decode_selected_blocks
+
     doc0 = np.frombuffer(row["blk_doc0"], dtype=np.int64)
     if doc0.size == 0 or cand.size == 0:
         e = np.empty(0, dtype=np.int64)
         return e, e, e
-    blocks = np.unique(np.clip(np.searchsorted(doc0, cand, side="right") - 1, 0, doc0.size - 1))
-    parts_d, parts_t, parts_l = [], [], []
-    # decode contiguous block runs in one range call each
-    run_start = blocks[0]
-    prev = blocks[0]
-    runs = []
-    for b in blocks[1:]:
-        if b != prev + 1:
-            runs.append((run_start, prev))
-            run_start = b
-        prev = b
-    runs.append((run_start, prev))
-    for b0, b1 in runs:
-        r_lo = int(doc0[b0])
-        r_hi = int(doc0[b1 + 1]) if b1 + 1 < doc0.size else np.iinfo(np.int64).max
-        d, t, l = decode_segment(row, block_size, max(r_lo, lo), min(r_hi, hi))
-        parts_d.append(d)
-        parts_t.append(t)
-        parts_l.append(l)
-    doc = np.concatenate(parts_d)
-    tf = np.concatenate(parts_t)
-    dl = np.concatenate(parts_l)
-    keep = np.isin(doc, cand, assume_unique=True)
+    blocks = np.unique(
+        np.clip(np.searchsorted(doc0, cand, side="right") - 1, 0, doc0.size - 1)
+    )
+    doc, tf, dl = decode_selected_blocks(row, block_size, blocks)
+    # both sides sorted: searchsorted membership
+    idx = np.searchsorted(cand, doc)
+    idx = np.minimum(idx, cand.size - 1)
+    keep = cand[idx] == doc
     return doc[keep], tf[keep], dl[keep]
 
 

@@ -183,6 +183,37 @@ def decode_segment(
     return doc, tf, dl
 
 
+def decode_selected_blocks(
+    row: dict, block_size: int, blocks: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_ids, tfs, dls) for a sorted-unique array of block indices —
+    ONE varint decode per stream no matter how scattered the blocks.
+
+    Works because coding is block-reset: every block's first doc value
+    is absolute, so concatenated block payloads decode independently
+    (all selected blocks are full except, possibly, the row's final
+    block, which can only appear last in the selection)."""
+    doc0 = np.frombuffer(row["blk_doc0"], dtype=np.int64)
+    nb = doc0.size
+    if nb == 0 or blocks.size == 0:
+        return _EMPTY3
+
+    def gather(buf: bytes, off_key: str) -> np.ndarray:
+        off = np.frombuffer(row[off_key], dtype=np.uint32)
+        b = np.frombuffer(buf, dtype=np.uint8)
+        starts = off[blocks].astype(np.int64)
+        ends = np.where(
+            blocks + 1 < nb, off[np.minimum(blocks + 1, nb - 1)], len(b)
+        ).astype(np.int64)
+        return np.concatenate([b[s:e] for s, e in zip(starts, ends)])
+
+    gaps = varint_decode(gather(row["doc_ids"], "blk_off_doc"))
+    doc = _blockwise_docs(gaps, block_size)
+    tf = varint_decode(gather(row["tfs"], "blk_off_tf")).astype(np.int64)
+    dl = varint_decode(gather(row["dls"], "blk_off_dl")).astype(np.int64)
+    return doc, tf, dl
+
+
 def decode_postings(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(doc_ids, tfs, dls) from an intermediate RUN row (plain delta
     coding — runs are merge-internal and never range-decoded)."""

@@ -60,3 +60,35 @@ def test_delta_compresses_dense_lists():
 def test_f32_roundtrip():
     x = np.array([0.0, 1.5, -2.25, 3.4e38], dtype=np.float32)
     np.testing.assert_array_equal(f32_decode(f32_encode(x)), x)
+
+
+def test_decode_selected_blocks_matches_full():
+    """Scattered-block single-pass decode == full decode restricted to
+    those blocks, for randomized posting lists and block selections."""
+    import numpy as np
+
+    from bm25_benchmarks_ray.stages.segments import (
+        decode_segment,
+        decode_selected_blocks,
+        encode_postings,
+    )
+
+    rng = np.random.RandomState(11)
+    for trial in range(40):
+        n = rng.randint(1, 700)
+        bs = int(rng.choice([4, 16, 128]))
+        doc = np.unique(rng.randint(0, 10_000, size=n)).astype(np.int64)
+        tf = rng.randint(1, 50, size=doc.size).astype(np.int64)
+        dl = rng.randint(1, 200, size=doc.size).astype(np.int64)
+        row = encode_postings("t", doc, tf, dl, bs)
+        nb = -(-doc.size // bs)
+        k = rng.randint(1, nb + 1)
+        blocks = np.sort(rng.choice(nb, size=k, replace=False))
+        got_d, got_t, got_l = decode_selected_blocks(row, bs, blocks)
+        full_d, full_t, full_l = decode_segment(row, bs)
+        sel = np.concatenate(
+            [np.arange(b * bs, min((b + 1) * bs, doc.size)) for b in blocks]
+        )
+        np.testing.assert_array_equal(got_d, full_d[sel])
+        np.testing.assert_array_equal(got_t, full_t[sel])
+        np.testing.assert_array_equal(got_l, full_l[sel])

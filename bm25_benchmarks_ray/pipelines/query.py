@@ -295,7 +295,11 @@ def score_range(
                 # needed for this query globally
                 emit(qi, doc, score)
                 continue
-            matched, m_score = doc, score  # <k ⇒ never pruned ⇒ full set
+            # <k ⇒ never pruned ⇒ full matched set; the pruned scorer
+            # returns (score desc, doc asc) order — re-sort by doc id,
+            # which _lowest_unmatched's gap walk requires
+            order = np.argsort(doc)
+            matched, m_score = doc[order], score[order]
         elif rows:
             # exhaustive accumulation (exhaustive mode, or a
             # negative-weight query): full matched set
@@ -630,6 +634,10 @@ def search(
         n_qbatch = min(per_group, max(1, n_q // 16))
     if n_slices is None:
         n_slices = max(1, -(-per_group // n_qbatch))
+        # don't shred small corpora into confetti: a slice under ~64k
+        # docs is pure task overhead (single-query latency at small sf)
+        per_group_docs = max(1, num_docs // max(1, len(gids)))
+        n_slices = min(n_slices, max(1, per_group_docs // 65536))
     q_bounds = np.linspace(0, n_q, n_qbatch + 1).astype(np.int64)
     scatter = []
     for g in gids:

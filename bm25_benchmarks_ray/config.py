@@ -74,7 +74,7 @@ class IndexConfig:
             "splitter": self.splitter,
             "salt_range": self.salt_range,
             "block_size": self.block_size,
-            "format": 3,
+            "format": 4,  # 4: tid-keyed exchange, sorted-block merge
         }
         return hashlib.sha256(json.dumps(sem, sort_keys=True).encode()).hexdigest()[:16]
 

@@ -54,13 +54,21 @@ from ray.data.aggregate import Sum
 from ..compat import prime_fsspec_http
 from ..config import IndexConfig
 from ..stages.docids import assign_doc_ids, conv_offsets, conv_offsets_local
-from ..stages.segments import make_merge_runs, make_merge_runs_partial
+from ..stages.segments import make_merge_partial, make_merge_sorted
 from ..stages.tokenize_stage import TokenizeRuns
 from ..state.manifest import Manifest
 
 OFFSETS_FILE = "offsets.parquet"
 SEGMENTS_DIR = "segments"
 VOCAB_DIR = "vocab"
+
+
+def _timing(stage: str, t0: float) -> None:
+    """BM25RD_TIMING=1: per-stage wall prints (stderr) for bench triage."""
+    if os.environ.get("BM25RD_TIMING"):
+        import sys
+
+        print(f"[timing] {stage}: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
 
 # docs per build group; the resume/checkpoint granularity. ~4M docs of
 # transcript turns ≈ a few GB of input per group.
@@ -206,10 +214,17 @@ def _build_group_segments(
 ) -> None:
     """One group's pre-combined runs → merged segment rows → parquet
     (atomic).  The tokenizer emits one compressed run per (term, batch)
-    — the map-side combine — so the groupby(term) shuffle moves
-    ~batch_size× fewer rows than raw postings.  two_level inserts the
-    salted (term, salt) pre-merge for extreme skew (see
-    stages/segments.py)."""
+    — the map-side combine — so the sort(tid) shuffle moves
+    ~batch_size× fewer rows than raw postings, keyed by int64 term ids
+    (strings ride only first-sight rows; stages/segments.py).
+
+    Merge is ``sort("tid")`` + whole-partition ``map_batches`` rather
+    than ``groupby().map_groups``: the range partitioner already
+    co-locates each tid contiguously in one sorted block, and the
+    batched-encode block merge replaces ~2 ms/term of per-group UDF +
+    1-row-table overhead (which also wrote one parquet row group PER
+    TERM).  two_level inserts the salted (tid, salt) pre-merge for
+    extreme skew."""
     pool = _tokenize_concurrency(cfg, overlap)
     if g_rows is not None and isinstance(pool, int):
         # no point spinning up more actors than there are batches —
@@ -224,16 +239,21 @@ def _build_group_segments(
         concurrency=pool,
     )
     if two_level:
-        runs = runs.groupby(["term", "salt"]).map_groups(
-            make_merge_runs_partial(), batch_format="pyarrow"
+        runs = runs.sort(["tid", "d0"]).map_batches(
+            make_merge_partial(cfg.salt_range), batch_format="pyarrow",
+            batch_size=None,
         )
-    segments = runs.groupby("term").map_groups(
-        make_merge_runs(cfg.block_size), batch_format="pyarrow"
+    segments = runs.sort(["tid", "d0"]).map_batches(
+        make_merge_sorted(cfg.block_size), batch_format="pyarrow", batch_size=None
     )
     tmp = out_dir + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     segments.write_parquet(tmp)
+    if os.environ.get("BM25RD_TIMING"):
+        import sys
+
+        print(segments.stats(), file=sys.stderr)
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.replace(tmp, out_dir)
@@ -312,6 +332,7 @@ def build_index(
     # -- stage: conv offsets (transcripts only; tiny table, one pass
     #    over just (conv_id, turn_idx)) --------------------------------
     offsets = None
+    t_off = time.perf_counter()
     if mode == "transcripts":
         off_path = os.path.join(index_dir, OFFSETS_FILE)
         if man.stage_done("offsets"):
@@ -326,6 +347,7 @@ def build_index(
             pq.write_table(pa.Table.from_pandas(offsets, preserve_index=False), tmp)
             os.replace(tmp, off_path)
             man.mark_stage("offsets", n_convs=len(offsets))
+    _timing("offsets", t_off)
 
     # -- stage: per-group segment builds ------------------------------
     # groups overlap (cfg.build_overlap concurrent sub-pipelines): one
@@ -364,8 +386,13 @@ def build_index(
         _build_group_segments(
             ds, cfg, g_dir, two_level, overlap=overlap, g_rows=g_rows
         )
+        _timing(f"group{gid}.segments", t0)
+        t1 = time.perf_counter()
         metrics = _group_metrics(g_dir)
+        _timing(f"group{gid}.metrics", t1)
+        t1 = time.perf_counter()
         rng = _group_doc_range(g_files, g_rows, mode, offsets)
+        _timing(f"group{gid}.doc_range", t1)
         with man_lock:
             man.mark_group(
                 gid,
@@ -389,6 +416,7 @@ def build_index(
                 f.result()
 
     # -- stage: finalize (global vocab/df + corpus stats) -------------
+    t_fin = time.perf_counter()
     if not man.stage_done("finalize"):
         seg_root = os.path.join(index_dir, SEGMENTS_DIR)
         n_seg_rows = sum(e.get("n_terms", 0) for e in man.groups.values())
@@ -433,6 +461,7 @@ def build_index(
             "avg_robertson_idf": avg_robertson_idf(dfs, int(num_docs)),
         }
         man.mark_stage("finalize")
+    _timing("finalize", t_fin)
     return man
 
 

@@ -1,16 +1,31 @@
 """Posting-list segment encoding: sorted, delta+varint-compressed lists
-with block-max metadata, built by groupby + map_groups.
+with block-max metadata, built by an integer-keyed sort + vectorized
+whole-partition merge.
 
-Two-level (hierarchical-merge) build inside one Ray Data pipeline:
+The wide exchange ships **term ids, not term strings**: the tokenizer
+hashes each term to a 64-bit ``tid`` (deterministic SipHash via
+``pandas.util.hash_array``) and the shuffle sorts on that integer key —
+the same postings-by-id exchange every reference engine uses
+(/root/reference/utils/__init__.py:92-96 id-keys its postings after a
+vocab pass).  The human-readable string rides along on only the FIRST
+run row each tokenizer actor emits for a term (nullable column, mostly
+null), so the merge can recover one string per term per group for the
+segment/vocab tables without the exchange paying string bytes per run.
 
-1. ``groupby(["term", "salt"]) → encode_run``: each reduce group holds at
-   most ``salt_range`` postings for one term (salt = doc_id //
-   salt_range), so a hot term (stopword-like survivor at 10^12-turn
-   scale) can never blow up a single reduce task — the explicit skew
-   handling the north rule asks for.
-2. ``groupby("term") → merge_runs``: concatenates a term's compressed
-   salt runs (10-20× smaller than raw postings) into one doc-sorted
-   list per term per group and computes final block-max bounds.
+Merge is a ``sort(tid)`` + ``map_batches`` over whole sorted
+partitions, NOT ``groupby().map_groups``: Ray's range partitioner
+already guarantees all rows of a tid land contiguously in one output
+block, and merging every term in the block with batched varint
+encodes (one encode pass per stream per block) replaces a per-term UDF
+dispatch + 1-row table that measured ~2 ms/term.  One output table per
+partition also yields sane parquet row groups (map_groups' 1-row
+tables wrote one row group PER ROW).
+
+Two-level (hierarchical-merge) variant for extreme in-group skew:
+``sort([tid, salt])`` + per-(tid, salt) pre-merge first bounds any
+single term's pre-merge work to ``salt_range`` postings before the
+final per-tid merge — config-gated, engaged when a group's doc count
+dwarfs ``salt_range``.
 
 The segment layout follows the PISA family the reference drives
 (/root/reference/benchmark/on_pisa.py:33-51: compressed posting lists +
@@ -30,17 +45,17 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.codec import (
-    delta_decode_doc_ids,
-    delta_encode_doc_ids,
     u32_encode,
     varint_decode,
     varint_encode,
     varint_encode_with_offsets,
+    varint_nbytes,
 )
 
 SEGMENT_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
+        ("tid", pa.uint64()),      # hash term id (the shuffle key)
         ("df", pa.int64()),        # postings in this row
         ("sum_tf", pa.int64()),    # Σ tf (stats aggregation, no decode pass)
         ("doc_ids", pa.binary()),  # block-reset delta+varint (see below)
@@ -60,17 +75,37 @@ SEGMENT_SCHEMA = pa.schema(
     ]
 )
 
+# What the wide exchange carries per (term, batch): an 8-byte integer
+# key, a mostly-null string, the run's first doc id (the secondary sort
+# key: runs hold disjoint doc sets, so sorting rows by (tid, d0) makes
+# each term's postings arrive globally doc-ordered at the merge — no
+# per-posting sort, and tf/dl streams byte-splice without re-encoding),
+# a small df and three compressed blobs (vs term string + 2×int64 per
+# row before the id-keyed design).
 RUN_SCHEMA = pa.schema(
     [
-        ("term", pa.string()),
-        ("salt", pa.int32()),
-        ("df", pa.int64()),
-        ("sum_tf", pa.int64()),
+        ("tid", pa.uint64()),
+        ("term", pa.string()),     # nullable: set on first sight per actor
+        ("d0", pa.int64()),
+        ("df", pa.int32()),
         ("doc_ids", pa.binary()),
         ("tfs", pa.binary()),
         ("dls", pa.binary()),
     ]
 )
+
+
+def term_ids(terms) -> np.ndarray:
+    """Deterministic 64-bit term ids: pandas' SipHash-1-3 with its fixed
+    default key — stable across processes, platforms and runs (required:
+    driver and every worker must agree).  Collisions: P[any collision
+    among n terms] ≈ n²/2⁶⁵ (~3e-11 at 1M terms, ~2.7% at 1B); a
+    collision would merge two posting lists, detectable as duplicate
+    tids in the vocab table."""
+    import pandas as pd
+
+    arr = np.asarray(terms, dtype=object)
+    return pd.util.hash_array(arr, categorize=False)
 
 
 def _block_bounds(
@@ -214,89 +249,275 @@ def decode_selected_blocks(
     return doc, tf, dl
 
 
-def decode_postings(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(doc_ids, tfs, dls) from an intermediate RUN row (plain delta
-    coding — runs are merge-internal and never range-decoded)."""
-    doc = delta_decode_doc_ids(row["doc_ids"])
-    tf = varint_decode(row["tfs"]).astype(np.int64)
-    dl = varint_decode(row["dls"]).astype(np.int64)
-    return doc, tf, dl
-
-
-def _segment_row_table(row: dict) -> pa.Table:
-    return pa.table(
-        {k: pa.array([v], type=SEGMENT_SCHEMA.field(k).type) for k, v in row.items()},
-        schema=SEGMENT_SCHEMA,
-    )
-
-
-def _merge_run_rows(rows: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode + concat + doc-sort a term's runs (runs hold disjoint doc
-    sets by construction — one batch owns a doc — but arrive in any
-    order, so the merge argsorts rather than trusting salt order)."""
-    if len(rows) == 1:
-        return decode_postings(rows[0])
-    parts = [decode_postings(r) for r in rows]
-    doc = np.concatenate([p[0] for p in parts])
-    tf = np.concatenate([p[1] for p in parts])
-    dl = np.concatenate([p[2] for p in parts])
-    order = np.argsort(doc, kind="stable")
-    return doc[order], tf[order], dl[order]
-
-
-def _merge_run_table(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized merge of one term's run rows: concatenate the varint
-    streams and decode each ONCE for the whole group (vs 3 decode calls
-    per run row — per-call overhead dominated the merge stage), then
-    reconstruct absolute doc_ids with a segmented cumsum (each run's
-    first gap is absolute, so docs = csum - repeat(csum_before_run))."""
-    df = tbl.column("df").to_numpy()
-    doc_bufs = tbl.column("doc_ids").to_pylist()
-    gaps = varint_decode(b"".join(doc_bufs))
+def _decode_run_block(
+    tbl: pa.Table,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, bytes, bytes]:
+    """Decode EVERY run row in a block with one varint pass per stream:
+    (df int64[], doc, tf, dl, joined_tf_bytes, joined_dl_bytes) in row
+    order.  Absolute doc ids come from a segmented cumsum (each run's
+    first gap is absolute, so docs = csum - repeat(csum_before_run)).
+    The joined tf/dl buffers are returned so the ordered merge path can
+    re-slice them without re-encoding (our LEB128 is canonical, so
+    encode(decode(buf)) == buf)."""
+    df = tbl.column("df").to_numpy().astype(np.int64)
+    gaps = varint_decode(b"".join(tbl.column("doc_ids").to_pylist()))
     csum = np.cumsum(gaps.astype(np.int64))
     starts = np.concatenate(([0], np.cumsum(df)[:-1]))
     base = csum[starts] - gaps[starts].astype(np.int64)
     doc = csum - np.repeat(base, df)
-    tf = varint_decode(b"".join(tbl.column("tfs").to_pylist())).astype(np.int64)
-    dl = varint_decode(b"".join(tbl.column("dls").to_pylist())).astype(np.int64)
-    order = np.argsort(doc, kind="stable")
-    return doc[order], tf[order], dl[order]
+    tbuf = b"".join(tbl.column("tfs").to_pylist())
+    lbuf = b"".join(tbl.column("dls").to_pylist())
+    tf = varint_decode(tbuf).astype(np.int64)
+    dl = varint_decode(lbuf).astype(np.int64)
+    return df, doc, tf, dl, tbuf, lbuf
 
 
-def make_merge_runs(block_size: int = 128):
-    """map_groups fn over groupby("term") of run rows: hierarchical merge
-    of a term's runs into one final doc-sorted segment row."""
+def _runs_ordered(tid_like: np.ndarray, df: np.ndarray, doc: np.ndarray) -> bool:
+    """True when every group's runs arrive doc-disjoint and ascending —
+    guaranteed when rows are sorted by (tid, d0) and each tokenize batch
+    owned a contiguous doc range (the normal case); false under
+    arbitrary external doc_id layouts, where the merge falls back to a
+    posting-level lexsort."""
+    if tid_like.size <= 1:
+        return True
+    ends = np.cumsum(df)
+    run_first = doc[ends - df]
+    run_last = doc[ends - 1]
+    same = tid_like[1:] == tid_like[:-1]
+    return bool(np.all(run_first[1:][same] > run_last[:-1][same]))
 
-    def merge_runs(tbl: pa.Table) -> pa.Table:
-        doc, tf, dl = _merge_run_table(tbl)
-        return _segment_row_table(
-            encode_postings(tbl.column("term")[0].as_py(), doc, tf, dl, block_size)
+
+def _enc_offsets(vals: np.ndarray) -> np.ndarray:
+    """Byte offset of each value boundary in the varint stream."""
+    return np.concatenate(([0], np.cumsum(varint_nbytes(vals))))
+
+
+def _first_strings(
+    term_col: pa.ChunkedArray | pa.Array, grp_of_row: np.ndarray, G: int, tids: np.ndarray
+) -> list[str]:
+    """One string per tid group: the first non-null ``term`` among the
+    group's rows.  Every group has one in a normal build (each tokenizer
+    actor emits the string the first time it sees a term, and actor
+    state is fresh per group pipeline); the ``#tid:`` placeholder can
+    only appear under partial lineage replay after worker loss and keeps
+    the build total rather than crashing."""
+    if isinstance(term_col, pa.ChunkedArray):
+        term_col = term_col.combine_chunks()
+    valid = np.flatnonzero(term_col.is_valid().to_numpy(zero_copy_only=False))
+    first = np.full(G, -1, dtype=np.int64)
+    first[grp_of_row[valid[::-1]]] = valid[::-1]
+    have = first >= 0
+    out: list[str | None] = [None] * G
+    if have.any():
+        taken = term_col.take(pa.array(first[have])).to_pylist()
+        for i, s in zip(np.flatnonzero(have), taken):
+            out[i] = s
+    for i in np.flatnonzero(~have):
+        out[i] = f"#tid:{int(tids[i]):016x}"
+    return out
+
+
+def make_merge_sorted(block_size: int = 128):
+    """map_batches fn over a ``sort("tid")`` output block: merges ALL
+    term groups in the partition into final segment rows with batched
+    varint encodes — one encode pass per stream for the whole block,
+    per-term rows carved out by byte-offset slicing (the same
+    prefix-sum trick the tokenizer's map-side combine uses)."""
+
+    def merge_sorted_block(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return SEGMENT_SCHEMA.empty_table()
+        tid = tbl.column("tid").to_numpy()
+        df, doc, tf, dl, in_tbuf, in_lbuf = _decode_run_block(tbl)
+        n = tid.size
+        g_start_row = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
+        G = g_start_row.size
+        rows_per_g = np.diff(np.concatenate((g_start_row, [n])))
+        grp_of_row = np.repeat(np.arange(G, dtype=np.int64), rows_per_g)
+        ppt = np.add.reduceat(df, g_start_row)        # postings per term
+        ordered = _runs_ordered(tid, df, doc)
+        if ordered:
+            doc_s, tf_s, dl_s = doc, tf, dl
+        else:
+            grp_of_post = np.repeat(grp_of_row, df)
+            order = np.lexsort((doc, grp_of_post))
+            doc_s, tf_s, dl_s = doc[order], tf[order], dl[order]
+        P = doc_s.size
+        t_start = np.concatenate(([0], np.cumsum(ppt)[:-1]))
+        pos_in_term = np.arange(P, dtype=np.int64) - np.repeat(t_start, ppt)
+        is_reset = (pos_in_term % block_size) == 0
+        gaps = np.empty(P, dtype=np.uint64)
+        np.subtract(
+            doc_s[1:], doc_s[:-1], out=gaps[1:].view(np.int64), casting="unsafe"
         )
+        gaps[is_reset] = doc_s[is_reset].astype(np.uint64)
 
-    return merge_runs
+        # doc gaps change at run/block boundaries → always re-encoded;
+        # tf/dl values are order-preserved on the fast path, so their
+        # streams are the input bytes re-sliced (no encode)
+        dbuf = varint_encode(gaps)
+        doff = _enc_offsets(gaps)
+        if ordered:
+            tbuf, toff = in_tbuf, _enc_offsets(tf_s.astype(np.uint64))
+            lbuf, loff = in_lbuf, _enc_offsets(dl_s.astype(np.uint64))
+        else:
+            tbuf = varint_encode(tf_s.astype(np.uint64))
+            toff = _enc_offsets(tf_s.astype(np.uint64))
+            lbuf = varint_encode(dl_s.astype(np.uint64))
+            loff = _enc_offsets(dl_s.astype(np.uint64))
 
+        bs_idx = np.flatnonzero(is_reset)             # global block starts
+        grp_sorted = np.repeat(np.arange(G, dtype=np.int64), ppt)
+        blocks_per_t = np.bincount(grp_sorted[bs_idx], minlength=G).astype(
+            np.int64
+        )
+        b_start = np.concatenate(([0], np.cumsum(blocks_per_t)[:-1]))
+        bmax = np.maximum.reduceat(tf_s, bs_idx).astype(np.uint32)
+        bmin = np.minimum.reduceat(dl_s, bs_idx).astype(np.uint32)
+        blk_doc0 = doc_s[bs_idx]
+        off_doc = (doff[bs_idx] - np.repeat(doff[t_start], blocks_per_t)).astype(np.uint32)
+        off_tf = (toff[bs_idx] - np.repeat(toff[t_start], blocks_per_t)).astype(np.uint32)
+        off_dl = (loff[bs_idx] - np.repeat(loff[t_start], blocks_per_t)).astype(np.uint32)
+        sum_tf = np.add.reduceat(tf_s, t_start).astype(np.int64)
 
-def make_merge_runs_partial():
-    """map_groups fn over groupby(["term", "salt"]): hierarchical
-    pre-merge of one salt-range's runs into a single run row — the
-    explicit skew bound for extreme groups (a hot term's merge is split
-    across salts before the final per-term concat touches it)."""
-    from ..functions.codec import delta_encode_doc_ids, varint_encode
-
-    def merge_runs_partial(tbl: pa.Table) -> pa.Table:
-        rows = tbl.to_pylist()
-        doc, tf, dl = _merge_run_rows(rows)
+        t_end = t_start + ppt
+        b_end = b_start + blocks_per_t
+        terms = _first_strings(tbl.column("term"), grp_of_row, G, tid[g_start_row])
         return pa.table(
             {
-                "term": [rows[0]["term"]],
-                "salt": pa.array([rows[0]["salt"]], type=pa.int32()),
-                "df": pa.array([doc.size], type=pa.int64()),
-                "sum_tf": pa.array([int(tf.sum())], type=pa.int64()),
-                "doc_ids": pa.array([delta_encode_doc_ids(doc)], type=pa.binary()),
-                "tfs": pa.array([varint_encode(tf.astype(np.uint64))], type=pa.binary()),
-                "dls": pa.array([varint_encode(dl.astype(np.uint64))], type=pa.binary()),
+                "term": pa.array(terms, type=pa.string()),
+                "tid": pa.array(tid[g_start_row]),
+                "df": pa.array(ppt),
+                "sum_tf": pa.array(sum_tf),
+                "doc_ids": pa.array(
+                    [dbuf[doff[a]:doff[b]] for a, b in zip(t_start, t_end)],
+                    type=pa.binary(),
+                ),
+                "tfs": pa.array(
+                    [tbuf[toff[a]:toff[b]] for a, b in zip(t_start, t_end)],
+                    type=pa.binary(),
+                ),
+                "dls": pa.array(
+                    [lbuf[loff[a]:loff[b]] for a, b in zip(t_start, t_end)],
+                    type=pa.binary(),
+                ),
+                "bmax_tf": pa.array(
+                    [bmax[a:b].tobytes() for a, b in zip(b_start, b_end)],
+                    type=pa.binary(),
+                ),
+                "bmin_dl": pa.array(
+                    [bmin[a:b].tobytes() for a, b in zip(b_start, b_end)],
+                    type=pa.binary(),
+                ),
+                "blk_doc0": pa.array(
+                    [blk_doc0[a:b].tobytes() for a, b in zip(b_start, b_end)],
+                    type=pa.binary(),
+                ),
+                "blk_off_doc": pa.array(
+                    [off_doc[a:b].tobytes() for a, b in zip(b_start, b_end)],
+                    type=pa.binary(),
+                ),
+                "blk_off_tf": pa.array(
+                    [off_tf[a:b].tobytes() for a, b in zip(b_start, b_end)],
+                    type=pa.binary(),
+                ),
+                "blk_off_dl": pa.array(
+                    [off_dl[a:b].tobytes() for a, b in zip(b_start, b_end)],
+                    type=pa.binary(),
+                ),
+            },
+            schema=SEGMENT_SCHEMA,
+        )
+
+    return merge_sorted_block
+
+
+def make_merge_partial(salt_range: int):
+    """map_batches fn over a ``sort(["tid", "d0"])`` output block: the
+    hierarchical pre-merge.  Coalesces each (tid, salt) group's many
+    batch runs into ONE run row (bounding any term's pre-merge work to
+    ``salt_range`` postings) before the final per-tid merge — the
+    explicit skew level for extreme group/salt ratios.  salt = d0 //
+    salt_range is monotone in d0, so (tid, salt) groups are contiguous
+    in the (tid, d0)-sorted block without salt being a sort key."""
+
+    def merge_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return RUN_SCHEMA.empty_table()
+        tid = tbl.column("tid").to_numpy()
+        salt = tbl.column("d0").to_numpy() // salt_range
+        df, doc, tf, dl, in_tbuf, in_lbuf = _decode_run_block(tbl)
+        n = tid.size
+        g_start_row = np.flatnonzero(
+            np.concatenate(([True], (tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])))
+        )
+        G = g_start_row.size
+        rows_per_g = np.diff(np.concatenate((g_start_row, [n])))
+        grp_of_row = np.repeat(np.arange(G, dtype=np.int64), rows_per_g)
+        ppt = np.add.reduceat(df, g_start_row)
+        ordered = _runs_ordered(grp_of_row, df, doc)
+        if ordered:
+            doc_s, tf_s, dl_s = doc, tf, dl
+        else:
+            grp_of_post = np.repeat(grp_of_row, df)
+            order = np.lexsort((doc, grp_of_post))
+            doc_s, tf_s, dl_s = doc[order], tf[order], dl[order]
+        P = doc_s.size
+        t_start = np.concatenate(([0], np.cumsum(ppt)[:-1]))
+        is_first = np.zeros(P, dtype=bool)
+        is_first[t_start] = True
+        gaps = np.empty(P, dtype=np.uint64)
+        np.subtract(
+            doc_s[1:], doc_s[:-1], out=gaps[1:].view(np.int64), casting="unsafe"
+        )
+        gaps[is_first] = doc_s[is_first].astype(np.uint64)
+
+        dbuf = varint_encode(gaps)
+        doff = _enc_offsets(gaps)
+        if ordered:
+            tbuf, toff = in_tbuf, _enc_offsets(tf_s.astype(np.uint64))
+            lbuf, loff = in_lbuf, _enc_offsets(dl_s.astype(np.uint64))
+        else:
+            tbuf = varint_encode(tf_s.astype(np.uint64))
+            toff = _enc_offsets(tf_s.astype(np.uint64))
+            lbuf = varint_encode(dl_s.astype(np.uint64))
+            loff = _enc_offsets(dl_s.astype(np.uint64))
+        t_end = t_start + ppt
+
+        term_col = tbl.column("term")
+        if isinstance(term_col, pa.ChunkedArray):
+            term_col = term_col.combine_chunks()
+        valid = np.flatnonzero(term_col.is_valid().to_numpy(zero_copy_only=False))
+        first = np.full(G, -1, dtype=np.int64)
+        first[grp_of_row[valid[::-1]]] = valid[::-1]
+        if valid.size:
+            terms = term_col.take(pa.array(np.where(first >= 0, first, 0)))
+            # groups with no string keep null (another salt's row carries it)
+            terms = pa.compute.if_else(
+                pa.array(first >= 0), terms, pa.scalar(None, type=pa.string())
+            )
+        else:
+            terms = pa.array([None] * G, type=pa.string())
+        return pa.table(
+            {
+                "tid": pa.array(tid[g_start_row]),
+                "term": terms,
+                "d0": pa.array(doc_s[t_start], type=pa.int64()),
+                "df": pa.array(ppt.astype(np.int32)),
+                "doc_ids": pa.array(
+                    [dbuf[doff[a]:doff[b]] for a, b in zip(t_start, t_end)],
+                    type=pa.binary(),
+                ),
+                "tfs": pa.array(
+                    [tbuf[toff[a]:toff[b]] for a, b in zip(t_start, t_end)],
+                    type=pa.binary(),
+                ),
+                "dls": pa.array(
+                    [lbuf[loff[a]:loff[b]] for a, b in zip(t_start, t_end)],
+                    type=pa.binary(),
+                ),
             },
             schema=RUN_SCHEMA,
         )
 
-    return merge_runs_partial
+    return merge_partial

@@ -94,25 +94,38 @@ class TokenizePostings:
 class TokenizeRuns:
     """Combiner variant: per batch, emit ONE pre-encoded run row per
     term instead of one row per (term, doc) — the map-side combine that
-    makes the groupby(term) shuffle move ~batch_size× fewer rows (and
+    makes the sort(tid) shuffle move ~batch_size× fewer rows (and
     compressed binary payloads instead of raw int64 columns).  This is
     the shuffle-volume lever at 10^12-turn scale: the wide exchange
-    carries (term, salt, df, sum_tf, 3 varint blobs) per (term, batch),
-    not 30+ bytes per posting.
+    carries (int64 tid, mostly-null term, salt, df, 3 varint blobs) per
+    (term, batch), not 30+ bytes per posting and not a term string per
+    run row.
 
-    Output schema == stages.segments.RUN_SCHEMA (+ df): downstream is a
-    single groupby("term") merge per group (runs are re-sorted by
+    Term strings ride the exchange only on FIRST sight per actor (the
+    ``seen`` set, fresh per group pipeline): every term present in a
+    group is guaranteed one string-bearing run row for the merge to
+    recover, while hot terms stop paying string bytes after each
+    actor's first batch.  The set is capped — past ``SEEN_CAP`` unique
+    terms an actor just always emits the string (graceful, bounded
+    memory at open-vocabulary scale).
+
+    Output schema == stages.segments.RUN_SCHEMA: downstream is one
+    sort(tid) + whole-partition merge per group (runs are re-sorted by
     doc_id at merge, so input file order never matters).
     """
+
+    SEEN_CAP = 4_000_000
 
     def __init__(self, config: IndexConfig):
         self.inner = TokenizePostings(config)
         self.salt_range = config.salt_range
+        self.seen: set[str] = set()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pandas as pd
 
         from ..functions.codec import varint_encode, varint_nbytes
+        from .segments import RUN_SCHEMA, term_ids
 
         # tokenize straight into flat token/doc arrays (no per-doc
         # Counter: tf counting falls out of the (term, doc) sort below)
@@ -189,16 +202,24 @@ class TokenizeRuns:
         dl_bufs = encode_sliced(dl_s)
 
         df_per_term = np.diff(bounds)
-        sum_tf = np.add.reduceat(tf_s.astype(np.int64), t_starts) if doc_s.size else np.empty(0, np.int64)
-        salts = (doc_s[t_starts] // self.salt_range).astype(np.int32) if doc_s.size else np.empty(0, np.int32)
+        d0 = doc_s[t_starts] if doc_s.size else np.empty(0, np.int64)
+        uniq_arr = np.asarray(uniq, dtype=object)
+        tids = term_ids(uniq_arr)
+        seen = self.seen
+        if len(seen) < self.SEEN_CAP:
+            term_out = [t if t not in seen else None for t in uniq_arr]
+            seen.update(uniq_arr.tolist())
+        else:
+            term_out = list(uniq_arr)
         return pa.table(
             {
-                "term": pa.array(uniq, type=pa.string()),
-                "salt": pa.array(salts),
-                "df": pa.array(df_per_term.astype(np.int64)),
-                "sum_tf": pa.array(sum_tf),
+                "tid": pa.array(tids),
+                "term": pa.array(term_out, type=pa.string()),
+                "d0": pa.array(d0, type=pa.int64()),
+                "df": pa.array(df_per_term.astype(np.int32)),
                 "doc_ids": pa.array(doc_bufs, type=pa.binary()),
                 "tfs": pa.array(tf_bufs, type=pa.binary()),
                 "dls": pa.array(dl_bufs, type=pa.binary()),
-            }
+            },
+            schema=RUN_SCHEMA,
         )

@@ -54,6 +54,21 @@ def _stabilize(ds: rd.Dataset) -> rd.Dataset:
     return ds.repartition(_join_partitions())
 
 
+def _nonempty_or(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
+    """Materialize a (small, post-cap bounded) pair stream and replace a
+    fully-empty result with a TYPED empty dataset: a groupby-aggregate
+    over zero rows emits schema-less blocks that the Arrow hash join
+    rejects outright ("no match for key field"), and map_batches cannot
+    repair them because it is skipped on empty blocks."""
+    m = ds.materialize()
+    if m.count() == 0:
+        return rd.from_arrow(schema.empty_table())
+    return m
+
+
+_PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+
 def _distinct_pairs(pairs: rd.Dataset, keep: str | None = None) -> rd.Dataset:
     """Distinct (a, b) via a vectorized groupby-aggregate — one sort
     shuffle, no per-group Python lambdas.  ``keep``: a column whose
@@ -71,12 +86,28 @@ def _distinct_pairs(pairs: rd.Dataset, keep: str | None = None) -> rd.Dataset:
 # -- deterministic vectorized hashing ---------------------------------
 
 def md5_u64(strings: Iterable[str], seed: int = 0) -> np.ndarray:
-    """First 8 bytes of md5(seed || s) as uint64, per string."""
+    """First 8 bytes of md5(seed || s) as uint64, per string.  Kept for
+    the operators whose DuckDB oracles replicate the hash bits
+    (simhash, winnowing — driver_api._MD5U64_SQL); bucketing-only paths
+    use :func:`fast_hash_u64` instead."""
     out = np.empty(len(strings) if hasattr(strings, "__len__") else 0, dtype=np.uint64)
     pre = str(seed).encode() + b"\x00"
     for i, s in enumerate(strings):
         out[i] = int.from_bytes(hashlib.md5(pre + s.encode()).digest()[:8], "little")
     return out
+
+
+def fast_hash_u64(strings) -> np.ndarray:
+    """Deterministic SipHash-1-3 per string (pandas' fixed-key C
+    kernel) — the vectorized replacement for the per-string hashlib
+    loop wherever the hash is only a grouping/bucketing key and no SQL
+    oracle replicates its bits: exact-dedup partitions, shingle keys,
+    minhash bases.  ~20× less per-call overhead than hashlib.md5 at
+    10² shingles × 10¹² docs."""
+    arr = np.asarray(strings, dtype=object)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(arr, categorize=False)
 
 
 def _tokens(text: str) -> list[str]:
@@ -90,6 +121,58 @@ def shingles(text: str, n: int = 3) -> set[str]:
     return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
 
 
+_POLY = np.uint64(1099511628211)  # FNV prime as the window-combine base
+
+
+def shingle_hashes(
+    texts: list[str], n: int = 3
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT word-``n``-gram shingle hashes for a whole
+    batch, vectorized past tokenization: one SipHash pass over the flat
+    token array, a degree-(n-1) polynomial combine per window (no
+    shingle strings are ever built), and a doc-segmented unique.
+
+    Returns ``(doc_idx, hash, n_distinct)``: flat (local doc index,
+    shingle hash) rows plus the per-doc distinct count.  Docs shorter
+    than ``n`` tokens contribute one whole-text shingle (matching
+    :func:`shingles`); empty docs contribute none."""
+    tok_lists = [_tokens(t) for t in texts]
+    m = len(texts)
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=m)
+    flat = [tok for toks in tok_lists for tok in toks]
+    th = fast_hash_u64(flat)
+    wc = np.where(lens >= n, lens - n + 1, (lens > 0).astype(np.int64))
+    off = np.concatenate(([0], np.cumsum(lens)))
+    woff = np.concatenate(([0], np.cumsum(wc)))
+    W = int(woff[-1])
+    doc_of_w = np.repeat(np.arange(m, dtype=np.int64), wc)
+    pos_in_doc = np.arange(W, dtype=np.int64) - np.repeat(woff[:-1], wc)
+    wstart = off[:-1].repeat(wc) + pos_in_doc
+    full = np.repeat(lens >= n, wc)
+    acc = np.zeros(W, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        fw = np.flatnonzero(full)
+        if fw.size:
+            a = th[wstart[fw]].copy()
+            for j in range(1, n):
+                a = a * _POLY + th[wstart[fw] + j]
+            acc[fw] = a
+        sw = np.flatnonzero(~full)
+        if sw.size:  # short docs: one window over all (< n) tokens
+            d = doc_of_w[sw]
+            a2 = th[off[d]].copy()
+            for j in range(1, n - 1):
+                msk = lens[d] > j
+                a2[msk] = a2[msk] * _POLY + th[off[d[msk]] + j]
+            acc[sw] = a2
+    order = np.lexsort((acc, doc_of_w))
+    dd, hh = doc_of_w[order], acc[order]
+    keep = np.concatenate(([True], (dd[1:] != dd[:-1]) | (hh[1:] != hh[:-1]))) if dd.size else np.empty(0, bool)
+    dd, hh = dd[keep], hh[keep]
+    n_sh = np.bincount(dd, minlength=m).astype(np.int64)
+    return dd, hh, n_sh
+
+
 # -- exact dedup -------------------------------------------------------
 
 def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
@@ -100,7 +183,7 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
     def combine(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {
-                "h": md5_u64(batch.column(text_col).to_pylist()),
+                "h": fast_hash_u64(batch.column(text_col).to_pylist()),
                 id_col: batch.column(id_col).to_numpy(),
             }
         )
@@ -119,29 +202,60 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
 # -- n-gram Jaccard near-dup ------------------------------------------
 
 def _shingle_rows(batch: pa.Table, n: int) -> pa.Table:
-    ids: list[int] = []
-    shs: list[str] = []
-    sizes: list[int] = []
-    for doc_id, text in zip(
-        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-    ):
-        s = shingles(text, n)
-        ids.extend([doc_id] * len(s))
-        shs.extend(s)
-        sizes.extend([len(s)] * len(s))
+    doc_ids = batch.column("doc_id").to_numpy()
+    dd, hh, n_sh = shingle_hashes(batch.column("text").to_pylist(), n)
     return pa.table(
         {
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "sh": pa.array(md5_u64(shs), type=pa.uint64()),
-            "n_sh": pa.array(sizes, type=pa.int64()),
+            "doc_id": pa.array(doc_ids[dd], type=pa.int64()),
+            "sh": pa.array(hh, type=pa.uint64()),
+            "n_sh": pa.array(n_sh[dd], type=pa.int64()),
         }
     )
 
 
-def make_pairs_from_group(max_bucket: int):
+class DropReport:
+    """Side-metric for capped dedup buckets — the "no silent caps" rule.
+    Pass one to ngram/minhash/simhash; after consuming the returned
+    Dataset, ``report.get()`` returns {"dropped_buckets", "dropped_docs"}
+    aggregated across all tasks (a zero-CPU counter actor).  A dropped
+    bucket is a candidate *cluster* larger than max_bucket whose
+    pairwise emission was skipped — at 100 TB those clusters should be
+    routed to a clustering pass, not silently vanish."""
+
+    def __init__(self):
+        import ray
+
+        @ray.remote(num_cpus=0)
+        class _Counter:
+            def __init__(self):
+                self.buckets = 0
+                self.docs = 0
+
+            def add(self, docs: int) -> None:
+                self.buckets += 1
+                self.docs += docs
+
+            def get(self) -> dict:
+                return {"dropped_buckets": self.buckets, "dropped_docs": self.docs}
+
+        self._actor = _Counter.remote()
+
+    @property
+    def handle(self):
+        return self._actor
+
+    def get(self) -> dict:
+        import ray
+
+        return ray.get(self._actor.get.remote())
+
+
+def make_pairs_from_group(max_bucket: int, drop_handle=None):
     def pairs_from_group(tbl: pa.Table) -> pa.Table:
         doc = np.unique(tbl.column("doc_id").to_numpy())
         if doc.size < 2 or doc.size > max_bucket:
+            if doc.size > max_bucket and drop_handle is not None:
+                drop_handle.add.remote(int(doc.size))
             return pa.table(
                 {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
             )
@@ -156,21 +270,34 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     n: int = 3,
     max_bucket: int = 256,
+    drop_report: DropReport | None = None,
 ) -> rd.Dataset:
     """Pairs (a < b) with Jaccard(n-gram shingle sets) >= threshold.
 
     shingle → groupby(shingle) candidate pairs → groupby(pair) count =
     |A∩B|; |A∪B| recovered by hash-joining the per-doc shingle-count
     table back onto the pairs (both sides stay distributed — no
-    driver-side size map)."""
+    driver-side size map).  ``drop_report`` surfaces over-cap buckets."""
     sh = ds.map_batches(lambda b: _shingle_rows(b, n), batch_format="pyarrow")
     sizes = _stabilize(sh.groupby("doc_id").aggregate(Min("n_sh", alias_name="n_sh")))
 
     pairs = sh.groupby("sh").map_groups(
-        make_pairs_from_group(max_bucket), batch_format="pyarrow"
+        make_pairs_from_group(
+            max_bucket, drop_report.handle if drop_report else None
+        ),
+        batch_format="pyarrow",
     )
-    # co-occurrence count per pair = |A∩B| (vectorized aggregate)
-    inter = _stabilize(pairs.groupby(["a", "b"]).aggregate(Count(alias_name="inter")))
+    # co-occurrence count per pair = |A∩B| (vectorized aggregate).
+    # Materialized (small, post-cap bounded): zero candidates must
+    # short-circuit BEFORE the size join — the Arrow hash join rejects
+    # an empty left side outright.
+    inter = _stabilize(
+        pairs.groupby(["a", "b"]).aggregate(Count(alias_name="inter"))
+    ).materialize()
+    if inter.count() == 0:
+        return rd.from_arrow(
+            _PAIR_SCHEMA.append(pa.field("jaccard", pa.float64())).empty_table()
+        )
 
     def rename(key: str, val: str):
         def f(b: pa.Table) -> pa.Table:
@@ -209,10 +336,13 @@ def ngram_jaccard_pairs(
 class MinHasher:
     """Stateful actor stage: doc → k-permutation minhash signature.
 
-    Permutations are odd-multiplier multiply-add hashes over the md5
-    base hash (wrap-around mod 2^64 — the standard multiply-shift
-    family); a/b derive from a seeded RNG in __init__ (once per actor,
-    identical across actors → identical signatures everywhere)."""
+    Permutations are odd-multiplier multiply-add hashes over the
+    vectorized SipHash shingle base (wrap-around mod 2^64 — the
+    standard multiply-shift family); a/b derive from a seeded RNG in
+    __init__ (once per actor, identical across actors → identical
+    signatures everywhere).  The whole batch is one outer product +
+    a doc-segmented ``minimum.reduceat`` — no per-shingle or per-doc
+    Python hashing anywhere."""
 
     def __init__(self, num_hashes: int = 128, shingle_n: int = 3, seed: int = 7):
         rng = np.random.RandomState(seed)
@@ -226,18 +356,41 @@ class MinHasher:
         self.n = shingle_n
         self.k = num_hashes
 
-    def signature(self, text: str) -> np.ndarray:
-        s = list(shingles(text, self.n))
-        if not s:
-            return np.full(self.k, np.iinfo(np.uint64).max, dtype=np.uint64)
-        base = md5_u64(s)  # (m,)
+    def _signatures(self, texts: list[str]) -> np.ndarray:
+        """(len(texts), k) signature matrix; all-max rows for empty docs."""
+        m = len(texts)
+        sigs = np.full((m, self.k), np.iinfo(np.uint64).max, dtype=np.uint64)
+        dd, hh, _ = shingle_hashes(texts, self.n)
+        if not hh.size:
+            return sigs
+        starts = np.flatnonzero(np.concatenate(([True], dd[1:] != dd[:-1])))
+        present = dd[starts]
         with np.errstate(over="ignore"):
-            h = np.outer(base, self.a) + self.b  # (m, k), wraps mod 2^64
-        return h.min(axis=0)
+            # chunk the (windows × k) permutation matrix on doc
+            # boundaries to bound peak memory
+            CHUNK = 1 << 15
+            c0 = 0
+            while c0 < starts.size:
+                c1 = c0
+                while c1 < starts.size and (
+                    (starts[c1] - starts[c0]) < CHUNK or c1 == c0
+                ):
+                    c1 += 1
+                w_lo = starts[c0]
+                w_hi = starts[c1] if c1 < starts.size else hh.size
+                h = np.outer(hh[w_lo:w_hi], self.a) + self.b
+                sigs[present[c0:c1]] = np.minimum.reduceat(
+                    h, starts[c0:c1] - w_lo, axis=0
+                )
+                c0 = c1
+        return sigs
+
+    def signature(self, text: str) -> np.ndarray:
+        return self._signatures([text])[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts]) if texts else np.empty((0, self.k), np.uint64)
+        sigs = self._signatures(texts)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -254,6 +407,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     max_bucket: int = 256,
     verify: bool = True,
+    drop_report: DropReport | None = None,
 ) -> rd.Dataset:
     """Near-dup pairs via banded MinHash LSH, exact-Jaccard verified.
 
@@ -296,8 +450,20 @@ def minhash_lsh_pairs(
     cands = _distinct_pairs(
         sig.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "bucket"])
-        .map_groups(make_pairs_from_group(max_bucket), batch_format="pyarrow")
+        .map_groups(
+            make_pairs_from_group(
+                max_bucket, drop_report.handle if drop_report else None
+            ),
+            batch_format="pyarrow",
+        )
     )
+    cands = cands.materialize()
+    if cands.count() == 0:
+        return rd.from_arrow(
+            (_PAIR_SCHEMA if not verify
+             else _PAIR_SCHEMA.append(pa.field("jaccard", pa.float64()))
+             ).empty_table()
+        )
     if not verify:
         return cands
 
@@ -356,11 +522,16 @@ def simhash64(text: str) -> int:
 
 
 def simhash_pairs(
-    ds: rd.Dataset, hamming_max: int = 3, max_bucket: int = 512
+    ds: rd.Dataset,
+    hamming_max: int = 3,
+    max_bucket: int = 512,
+    drop_report: DropReport | None = None,
 ) -> rd.Dataset:
     """Near-dup pairs with simhash Hamming distance <= hamming_max,
     blocked on 4 16-bit bands (any pair within distance 3 shares at
-    least one exact band — pigeonhole)."""
+    least one exact band — pigeonhole).  ``drop_report`` surfaces
+    over-cap buckets (no silent caps)."""
+    drop_handle = drop_report.handle if drop_report else None
 
     def sim_rows(batch: pa.Table) -> pa.Table:
         doc = batch.column("doc_id").to_numpy()
@@ -389,6 +560,8 @@ def simhash_pairs(
         doc = df["doc_id"].to_numpy()
         sim = df["sim"].to_numpy(dtype=np.uint64)
         if doc.size < 2 or doc.size > max_bucket:
+            if doc.size > max_bucket and drop_handle is not None:
+                drop_handle.add.remote(int(doc.size))
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64()),
                              "hamming": pa.array([], type=pa.int64())})
@@ -406,9 +579,12 @@ def simhash_pairs(
             }
         )
 
-    return _distinct_pairs(
-        ds.map_batches(sim_rows, batch_format="pyarrow")
-        .groupby(["band", "bucket"])
-        .map_groups(pairs_with_sim, batch_format="pyarrow"),
-        keep="hamming",
+    return _nonempty_or(
+        _distinct_pairs(
+            ds.map_batches(sim_rows, batch_format="pyarrow")
+            .groupby(["band", "bucket"])
+            .map_groups(pairs_with_sim, batch_format="pyarrow"),
+            keep="hamming",
+        ),
+        _PAIR_SCHEMA.append(pa.field("hamming", pa.int64())),
     )

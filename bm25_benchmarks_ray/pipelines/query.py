@@ -397,10 +397,12 @@ def make_score_slice(
             terms_here = query_plan_terms(plan, q_lo, q_hi)
             rows_by_term: dict[str, dict] = {}
             if terms_here:
+                from ..stages.segments import segment_rows_by_term
+
                 seg = pads.dataset(group_dir).to_table(
                     filter=pc.field("term").isin(terms_here)
                 )
-                rows_by_term = {r["term"]: r for r in seg.to_pylist()}
+                rows_by_term = segment_rows_by_term(seg)
             if not rows_by_term and not dense_pad:
                 continue
             # decoded (doc, tf_shape - s0) per term, shared across every
@@ -561,10 +563,10 @@ def _empty_query_results(plan: dict, k: int, num_docs: int, legacy_pad: bool) ->
     qids, docs, ranks, scores = [], [], [], []
     if legacy_pad:
         pad = list(range(min(k, num_docs)))
+        # one pass over the fanout, not one per query (O(Q×fanout) scan)
+        matched_qi = {i for fl in plan["term_fanout"].values() for i, _ in fl}
         for qi, qid in enumerate(plan["qids"]):
-            if plan["term_fanout"] and any(
-                qi == i for fl in plan["term_fanout"].values() for i, _ in fl
-            ):
+            if qi in matched_qi:
                 continue
             qids += [qid] * len(pad)
             docs += pad

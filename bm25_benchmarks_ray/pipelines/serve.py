@@ -90,11 +90,12 @@ class GroupScorer:
         missing = [t for t in terms if t not in self.rows]
         if not missing:
             return
+        from ..stages.segments import segment_rows_by_term
+
         seg = pads.dataset(self.group_dir).to_table(
             filter=pc.field("term").isin(missing)
         )
-        for r in seg.to_pylist():
-            self.rows[r["term"]] = r
+        self.rows.update(segment_rows_by_term(seg))
         for t in missing:
             self.rows.setdefault(t, None)
 

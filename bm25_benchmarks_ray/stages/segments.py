@@ -249,6 +249,33 @@ def decode_selected_blocks(
     return doc, tf, dl
 
 
+def segment_rows_by_term(seg: pa.Table) -> dict[str, dict]:
+    """{term: row-dict} for query-side consumers, with binary payloads
+    as zero-copy memoryviews over the Arrow buffers instead of
+    ``to_pylist()``'s per-row ``bytes`` copies (hot-term posting blobs
+    are MBs each; the copy was pure memory traffic per scoring task).
+    All decode paths consume them via ``np.frombuffer`` / slicing, both
+    memoryview-safe."""
+    out: dict[str, dict] = {}
+    if seg.num_rows == 0:
+        return out
+    cols = {}
+    for name in seg.column_names:
+        arr = seg.column(name)
+        cols[name] = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    terms = cols["term"].to_pylist()
+    binary = {n for n, a in cols.items() if pa.types.is_binary(a.type)}
+    plain = [n for n in cols if n not in binary and n != "term"]
+    for i, t in enumerate(terms):
+        row: dict = {"term": t}
+        for name in plain:
+            row[name] = cols[name][i].as_py()
+        for name in binary:
+            row[name] = memoryview(cols[name][i].as_buffer())
+        out[t] = row
+    return out
+
+
 def _decode_run_block(
     tbl: pa.Table,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, bytes, bytes]:

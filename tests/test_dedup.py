@@ -8,10 +8,12 @@ import pytest
 import ray.data as rd
 
 from bm25_benchmarks_ray.pipelines.dedup import (
+    DropReport,
     MinHasher,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    shingle_hashes,
     shingles,
     simhash64,
     simhash_pairs,
@@ -95,3 +97,50 @@ def test_simhash_pairs(corpus):
 def test_simhash_deterministic():
     assert simhash64(BASE[0]) == simhash64(BASE[0])
     assert simhash64(BASE[0]) != simhash64(BASE[3])
+
+
+def test_shingle_hashes_match_string_shingles():
+    """Distinct counts and cross-doc hash equality mirror the string
+    shingle sets exactly (same tokens → same window hashes)."""
+    texts = BASE + ["tiny doc", "", BASE[0], "one"]
+    dd, hh, n_sh = shingle_hashes(texts, 3)
+    for i, t in enumerate(texts):
+        assert n_sh[i] == len(shingles(t, 3)), t
+    # identical docs produce identical hash sets
+    h0 = sorted(hh[dd == 0].tolist())
+    hdup = sorted(hh[dd == len(BASE) + 2].tolist())
+    assert h0 == hdup
+    # empty doc contributes nothing
+    assert n_sh[len(BASE) + 1] == 0
+
+
+def test_drop_report_counts_overcap_buckets(ray_session):
+    """An over-cap duplicate cluster must be REPORTED, not silently
+    skipped (module docstring's promise)."""
+    texts = ["identical boilerplate license header text here"] * 40 + [
+        f"unique filler text number {i} with words alpha{i} beta{i} gamma{i}"
+        for i in range(10)
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts, type=pa.string())}
+    )
+    rep = DropReport()
+    out = ngram_jaccard_pairs(
+        rd.from_arrow(t).repartition(2), threshold=0.8, max_bucket=8,
+        drop_report=rep,
+    ).to_pandas()
+    got = rep.get()
+    assert got["dropped_buckets"] >= 1
+    assert got["dropped_docs"] >= 40
+    # the planted cluster's pairs were indeed dropped ("a" column absent
+    # entirely when NO pairs survive — Ray's empty to_pandas quirk)
+    if "a" in out:
+        assert not any((a < 40) and (b < 40) for a, b in zip(out["a"], out["b"]))
+
+    rep2 = DropReport()
+    sim = simhash_pairs(
+        rd.from_arrow(t).repartition(2), hamming_max=3, max_bucket=8,
+        drop_report=rep2,
+    ).to_pandas()
+    assert rep2.get()["dropped_buckets"] >= 1

@@ -3,13 +3,13 @@ typed metadata, processed by actor-pool ``map_batches`` stages.
 
 Image decode is REAL: ``decode_backend="real"`` dispatches on magic
 bytes to the pure-stdlib PNG / 24-bit BMP codec
-(functions/imagecodec.py) — no PIL/opencv needed.  Audio/video decode
-remain stubs (``decode_backend="real"`` raises NotImplementedError at
-the soundfile/ffmpeg call site) since the container genuinely lacks
-those libraries; the deterministic fake backend derives pixel/sample
-content from the payload bytes so every downstream stage (resize,
-feature extract, frame sample) runs real numpy on real arrays either
-way.
+(functions/imagecodec.py) — no PIL/opencv needed.  Audio decode is
+REAL too: 16-bit PCM WAV via stdlib ``wave``
+(functions/audiocodec.py).  Video real decode remains the one stub
+(the container genuinely lacks ffmpeg); the deterministic fake backend
+derives pixel/sample content from the payload bytes so every
+downstream stage (resize, feature extract, frame sample) runs real
+numpy on real arrays either way.
 
 Batch-size note (100 TB): binary payloads dominate block size; keep
 ``batch_size`` small (default 64) so batch × concurrency fits worker
@@ -54,11 +54,14 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def synthesize_media(n: int, seed: int = 9, image_format: str = "raw") -> pa.Table:
+def synthesize_media(
+    n: int, seed: int = 9, image_format: str = "raw", audio_format: str = "raw"
+) -> pa.Table:
     """Deterministic fake media table: payload bytes derived from
     (seed, media_id); metadata consistent with payload length.
-    image_format="png"/"bmp" emits REAL encoded image payloads (for the
-    real decode backend); "raw" keeps bare pixel bytes (fake backend)."""
+    image_format="png"/"bmp" emits REAL encoded image payloads and
+    audio_format="wav" REAL 16-bit PCM WAV (for the real decode
+    backends); "raw" keeps bare pixel/sample bytes (fake backend)."""
     rng = np.random.RandomState(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)[
         rng.randint(0, 3, size=n)
@@ -81,7 +84,15 @@ def synthesize_media(n: int, seed: int = 9, image_format: str = "raw") -> pa.Tab
             metas.append(json.dumps({"width": w, "height": hgt}))
         elif kind == "audio":
             ns = 256 + h[0] * 4
-            payloads.append((h * ((ns * 2) // len(h) + 1))[: ns * 2])
+            pcm = (h * ((ns * 2) // len(h) + 1))[: ns * 2]
+            if audio_format == "wav":
+                from ..functions.audiocodec import encode_wav
+
+                payloads.append(
+                    encode_wav(np.frombuffer(pcm, dtype=np.int16), 16000)
+                )
+            else:
+                payloads.append(pcm)
             metas.append(json.dumps({"sample_rate": 16000, "n_samples": ns}))
         else:
             nf = 4 + h[0] % 12
@@ -186,10 +197,13 @@ class AudioFeatures:
             if kind != "audio":
                 continue
             if self.backend == "real":
-                raise NotImplementedError("real audio decode: plug soundfile here")
-            samples = np.frombuffer(
-                payload[: (len(payload) // 2) * 2], dtype=np.int16
-            ).astype(np.float64)
+                from ..functions.audiocodec import wav_to_mono_f64
+
+                samples, _rate = wav_to_mono_f64(payload)
+            else:
+                samples = np.frombuffer(
+                    payload[: (len(payload) // 2) * 2], dtype=np.int16
+                ).astype(np.float64)
             w = max(1, samples.size // self.n_windows)
             trimmed = samples[: w * self.n_windows]
             energy = np.sqrt((trimmed.reshape(-1, w) ** 2).mean(axis=1))

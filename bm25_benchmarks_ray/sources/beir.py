@@ -9,9 +9,13 @@ parquet with dense int doc ids ranked by external id, plus a
 ``docmap.parquet`` (doc_id ↔ ext_id) so query results join back to BEIR
 string ids for qrels evaluation.
 
-Scale note: only the (ext_id) column is ever collected driver-side (to
-rank ids) — same budget as the conv-offsets table; the text payload
-streams through map_batches untouched.
+Scale note: below ``DRIVER_SIDE_ROWS`` only the (ext_id) column is
+collected driver-side to rank ids (same budget as the conv-offsets
+table).  Past it, ranking is fully distributed: a sort of the id
+column alone, per-block rank offsets from the sorted blocks' row
+counts (a zip-with-index over block refs — tiny driver state, one int
+per block), and a hash join to attach doc_ids to the streaming text.
+No full id column ever lands on the driver on that path.
 """
 
 from __future__ import annotations
@@ -81,37 +85,95 @@ def read_beir_corpus(beir_dir: str) -> rd.Dataset:
     return ds
 
 
-def beir_corpus_to_parquet(beir_dir: str, out_dir: str) -> str:
-    """Stream the BEIR corpus into documents-mode parquet: (doc_id,
-    text) ranked by ext_id, plus docmap.parquet.  Returns out_dir."""
-    os.makedirs(out_dir, exist_ok=True)
-    ds = read_beir_corpus(beir_dir)
-    # rank external ids: only the id column leaves the cluster
-    ids = ds.select_columns(["ext_id"]).to_pandas()["ext_id"]
-    order = pd.Index(sorted(ids))
-    docmap = pd.DataFrame(
-        {"doc_id": np.arange(len(order), dtype=np.int64), "ext_id": order}
-    )
-    pq.write_table(
-        pa.Table.from_pandas(docmap, preserve_index=False),
-        os.path.join(out_dir, DOCMAP_FILE),
-    )
-    rank_ref = ray.put(dict(zip(docmap["ext_id"], docmap["doc_id"])))
+# rows above which id ranking goes fully distributed (below: collect
+# just the id column, same pattern as index_build.DRIVER_SIDE_ROWS)
+DRIVER_SIDE_ROWS = 20_000_000
 
-    def add_ids(batch: pa.Table) -> pa.Table:
-        rank = ray.get(rank_ref)
-        ids_np = pd.Series(batch.column("ext_id").to_pylist())
-        doc_id = ids_np.map(rank).to_numpy(dtype=np.int64)
+
+def _ranked_docmap_distributed(ds: rd.Dataset) -> rd.Dataset:
+    """(doc_id, ext_id) with doc_id = global rank under ORDER BY ext_id,
+    computed WITHOUT collecting the id column: sort the ids, read each
+    sorted block's row count (one int per block on the driver), prefix-
+    sum those into per-block rank offsets, and stamp ranks per block —
+    the classic zip-with-index."""
+    ids_sorted = ds.select_columns(["ext_id"]).sort("ext_id").materialize()
+    bundles = list(ids_sorted.iter_internal_ref_bundles())
+    refs, counts = [], []
+    for b in bundles:
+        for ref, meta in zip(b.block_refs, b.metadata):
+            refs.append(ref)
+            counts.append(meta.num_rows)
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+
+    @ray.remote
+    def stamp(block, off: int) -> pa.Table:
+        t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
         return pa.table(
             {
-                "doc_id": pa.array(doc_id, type=pa.int64()),
-                "text": batch.column("text"),
+                "doc_id": pa.array(
+                    off + np.arange(t.num_rows, dtype=np.int64), type=pa.int64()
+                ),
+                "ext_id": t.column("ext_id"),
             }
         )
 
+    return rd.from_arrow_refs(
+        [stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    )
+
+
+def beir_corpus_to_parquet(
+    beir_dir: str, out_dir: str, driver_side_rows: int = DRIVER_SIDE_ROWS
+) -> str:
+    """Stream the BEIR corpus into documents-mode parquet: (doc_id,
+    text) ranked by ext_id, plus a docmap (doc_id ↔ ext_id).  Returns
+    out_dir.  Above ``driver_side_rows`` ids rank distributed and
+    attach via hash join (no driver-side id collection)."""
+    os.makedirs(out_dir, exist_ok=True)
+    ds = read_beir_corpus(beir_dir)
     docs_dir = os.path.join(out_dir, "documents")
     os.makedirs(docs_dir, exist_ok=True)
-    ds.map_batches(add_ids, batch_format="pyarrow").write_parquet(docs_dir)
+
+    n = ds.count()
+    if n <= driver_side_rows:
+        # small path: rank the id column driver-side, broadcast the map
+        ids = ds.select_columns(["ext_id"]).to_pandas()["ext_id"]
+        order = pd.Index(sorted(ids))
+        docmap = pd.DataFrame(
+            {"doc_id": np.arange(len(order), dtype=np.int64), "ext_id": order}
+        )
+        pq.write_table(
+            pa.Table.from_pandas(docmap, preserve_index=False),
+            os.path.join(out_dir, DOCMAP_FILE),
+        )
+        rank_ref = ray.put(dict(zip(docmap["ext_id"], docmap["doc_id"])))
+
+        def add_ids(batch: pa.Table) -> pa.Table:
+            rank = ray.get(rank_ref)
+            ids_np = pd.Series(batch.column("ext_id").to_pylist())
+            doc_id = ids_np.map(rank).to_numpy(dtype=np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_id, type=pa.int64()),
+                    "text": batch.column("text"),
+                }
+            )
+
+        ds.map_batches(add_ids, batch_format="pyarrow").write_parquet(docs_dir)
+        return out_dir
+
+    # distributed path: sort-rank the id column, hash-join ids onto text
+    docmap_ds = _ranked_docmap_distributed(ds)
+    dm_dir = os.path.join(out_dir, DOCMAP_FILE)
+    if os.path.isfile(dm_dir):
+        os.remove(dm_dir)
+    docmap_ds.write_parquet(dm_dir)  # a directory: load_docmap handles both
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    joined = ds.join(
+        docmap_ds, join_type="inner", num_partitions=max(2, cpus), on=("ext_id",)
+    )
+    joined.select_columns(["doc_id", "text"]).write_parquet(docs_dir)
     return out_dir
 
 
@@ -152,10 +214,24 @@ def read_beir_qrels(path: str, split: str = "test") -> dict[str, dict[str, int]]
 
 
 def load_docmap(path: str) -> pd.DataFrame | None:
-    """docmap.parquet from a corpus dir or index dir (doc_id, ext_id)."""
-    for cand in (path, os.path.join(path, DOCMAP_FILE)):
+    """docmap from a corpus dir or index dir (doc_id, ext_id) — a single
+    parquet file (driver-side rank path) or a directory of parts
+    (distributed rank path)."""
+    import pyarrow.dataset as pads
+
+    cands = [path] if os.path.basename(path) == DOCMAP_FILE else []
+    cands.append(os.path.join(path, DOCMAP_FILE))
+    for cand in cands:
         if os.path.isfile(cand):
             return pq.read_table(cand).to_pandas()
+        if os.path.isdir(cand) and glob.glob(os.path.join(cand, "*.parquet")):
+            return (
+                pads.dataset(cand)
+                .to_table()
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
     return None
 
 

@@ -58,6 +58,41 @@ def test_corpus_projection_and_docmap(ray_session, tmp_path):
     assert dm["ext_id"].is_monotonic_increasing
 
 
+def test_distributed_rank_matches_driver_path(ray_session, tmp_path):
+    """driver_side_rows=0 forces the sort-rank + hash-join path; the
+    documents parquet and docmap must be IDENTICAL to the small path's."""
+    import pyarrow.dataset as pads
+
+    from bm25_benchmarks_ray.sources.beir import (
+        beir_corpus_to_parquet,
+        load_docmap,
+    )
+
+    beir = str(tmp_path / "ds")
+    _write_beir(beir)
+    small = str(tmp_path / "pq_small")
+    dist = str(tmp_path / "pq_dist")
+    beir_corpus_to_parquet(beir, small)
+    beir_corpus_to_parquet(beir, dist, driver_side_rows=0)
+
+    dm_s, dm_d = load_docmap(small), load_docmap(dist)
+    assert list(dm_s["doc_id"]) == list(dm_d["doc_id"])
+    assert list(dm_s["ext_id"]) == list(dm_d["ext_id"])
+
+    def docs(p):
+        return (
+            pads.dataset(os.path.join(p, "documents"))
+            .to_table()
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    a, b = docs(small), docs(dist)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["text"]) == list(b["text"])
+
+
 def test_cqadupstack_union_prefixes(ray_session, tmp_path):
     from bm25_benchmarks_ray.sources.beir import read_beir_corpus
 

@@ -85,10 +85,54 @@ def test_real_image_backend_rejects_raw_payloads():
         dec(t)
 
 
-def test_real_audio_backend_is_stubbed():
-    from bm25_benchmarks_ray.pipelines.multimodal import AudioFeatures
+def test_wav_roundtrip():
+    from bm25_benchmarks_ray.functions.audiocodec import decode_wav, encode_wav
 
+    rng = np.random.RandomState(3)
+    mono = rng.randint(-32768, 32767, size=777).astype(np.int16)
+    s, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and s.shape == (777, 1)
+    assert np.array_equal(s[:, 0], mono)
+    stereo = rng.randint(-32768, 32767, size=(123, 2)).astype(np.int16)
+    s2, rate2 = decode_wav(encode_wav(stereo, 44100))
+    assert rate2 == 44100 and np.array_equal(s2, stereo)
+
+
+def test_real_audio_backend_decodes_wav(ray_session):
+    """decode_backend='real' over REAL WAV payloads: features equal the
+    fake backend's on the same underlying samples (mono PCM)."""
+    import ray.data as rd_
+
+    raw = synthesize_media(40, seed=5)  # audio payload = bare PCM bytes
+    wav = synthesize_media(40, seed=5, audio_format="wav")
+    out_fake = (
+        rd_.from_arrow(raw)
+        .map_batches(AudioFeatures, batch_format="pyarrow", batch_size=16,
+                     concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    out_real = (
+        rd_.from_arrow(wav)
+        .map_batches(
+            AudioFeatures,
+            fn_constructor_kwargs={"decode_backend": "real"},
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert len(out_real) == len(out_fake) > 0
+    for fr, ff in zip(out_real["features"], out_fake["features"]):
+        assert np.allclose(np.asarray(fr), np.asarray(ff))
+
+
+def test_real_audio_backend_rejects_raw_payloads():
     feats = AudioFeatures(decode_backend="real")
-    t = synthesize_media(10, seed=1)
-    with pytest.raises(NotImplementedError):
+    t = synthesize_media(10, seed=1)  # audio_format="raw": no RIFF header
+    with pytest.raises(Exception):
         feats(t)

@@ -255,7 +255,12 @@ def make_pairs_from_group(max_bucket: int, drop_handle=None):
         doc = np.unique(tbl.column("doc_id").to_numpy())
         if doc.size < 2 or doc.size > max_bucket:
             if doc.size > max_bucket and drop_handle is not None:
-                drop_handle.add.remote(int(doc.size))
+                import ray
+
+                # Block until recorded: a fire-and-forget add could still
+                # be in flight when the driver reads the counter after the
+                # dataset completes (rare path, off the hot loop).
+                ray.get(drop_handle.add.remote(int(doc.size)))
             return pa.table(
                 {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
             )
@@ -561,7 +566,12 @@ def simhash_pairs(
         sim = df["sim"].to_numpy(dtype=np.uint64)
         if doc.size < 2 or doc.size > max_bucket:
             if doc.size > max_bucket and drop_handle is not None:
-                drop_handle.add.remote(int(doc.size))
+                import ray
+
+                # Block until recorded: a fire-and-forget add could still
+                # be in flight when the driver reads the counter after the
+                # dataset completes (rare path, off the hot loop).
+                ray.get(drop_handle.add.remote(int(doc.size)))
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64()),
                              "hamming": pa.array([], type=pa.int64())})

@@ -236,6 +236,21 @@ class _DecodeCache:
         return hit
 
 
+# Block-max MaxScore pruning pays off while the top-k threshold is
+# selective; at large k the kth score is low, terms stop being prunable
+# and the incremental per-term candidate merge (np.unique per term)
+# costs more than it saves — measured at sf8/3.2M-doc groups: pruned
+# 4.0 s vs dense-exhaustive ~1.5 s per 125-query task at k=1000, while
+# pruned wins 2x at k=10.  Above the cutoff, score DENSELY: one
+# reusable float64 accumulator over the slice's doc range, scatter-add
+# per term, one flatnonzero sweep per query.
+DENSE_K_CUTOFF = 64
+# Accumulator memory is 9 bytes/doc (f64 + bool); cap the slice width
+# it is attempted for (16M docs = 144 MB/task) — wider slices keep the
+# sort-based path.
+DENSE_RANGE_CAP = 16_000_000
+
+
 def score_range(
     plan: dict,
     rows_by_term: dict[str, dict],
@@ -278,14 +293,20 @@ def score_range(
             out_doc.append(doc)
             out_score.append(score)
 
+    # lazily-allocated dense accumulator shared by every dense-scored
+    # query in this call (zeroed in place after each query)
+    dense_ok = 0 < (hi - lo) <= DENSE_RANGE_CAP
+    acc = mask = None
+
     for qi in range(q_lo, q_hi):
         rows = q_terms.get(qi)
         ws = q_weights.get(qi, [])
         qc = float(plan["qconst"][qi])
+        all_pos = all(w > 0 for w in ws)
         # strict positivity: a w == 0 term (atire idf at df == N) can
         # leave matched docs tied AT qconst, where unmatched lower ids
         # win — those queries go exhaustive too
-        if rows and prune and all(w > 0 for w in ws):
+        if rows and prune and all_pos and not (dense_ok and k >= DENSE_K_CUTOFF):
             doc, score = score_query_pruned(
                 rows, ws, params, avgdl, k, block_size, lo, hi, qc,
                 full_decode=decoded,
@@ -300,9 +321,34 @@ def score_range(
             # which _lowest_unmatched's gap walk requires
             order = np.argsort(doc)
             matched, m_score = doc[order], score[order]
+        elif rows and dense_ok:
+            # dense exhaustive scoring: scatter-add each term's
+            # contributions into the range accumulator (doc ids are
+            # unique within a term, so fancy-index += is exact), then
+            # one boolean sweep recovers the sorted matched set
+            if acc is None:
+                acc = np.zeros(hi - lo, dtype=np.float64)
+                mask = np.zeros(hi - lo, dtype=bool)
+            for row, w in zip(rows, ws):
+                d, base = decoded(row)
+                if d.size:
+                    di = d - lo
+                    acc[di] += w * base
+                    mask[di] = True
+            mi = np.flatnonzero(mask)
+            matched = mi + lo
+            m_score = acc[mi] + qc
+            acc[mi] = 0.0
+            mask[mi] = False
+            if all_pos and matched.size >= k:
+                # every matched score strictly beats qconst (w > 0 and
+                # tf_shape strictly increasing in tf) — no padding can
+                # enter the top-k, same early-out as the pruned path
+                emit(qi, *_topk_ties(matched, m_score, k))
+                continue
         elif rows:
-            # exhaustive accumulation (exhaustive mode, or a
-            # negative-weight query): full matched set
+            # sort-based exhaustive accumulation (slice too wide for a
+            # dense accumulator): full matched set
             parts_d, parts_v = [], []
             for row, w in zip(rows, ws):
                 d, base = decoded(row)

@@ -208,6 +208,34 @@ def _shuffle_partitions(cfg: IndexConfig) -> int:
     return cfg.shuffle_partitions or 3 * cpus
 
 
+def _tid_boundaries(width: int) -> list[int]:
+    """Equally-spaced partition boundaries over the uint64 tid space.
+
+    tids are SipHash values (stages/segments.py:term_ids) — uniform on
+    [0, 2^64) — so fixed boundaries balance the merge wave without
+    Ray's sampling pass, AND, because boundaries partition by the
+    primary sort key only, no tid ever straddles two sorted blocks
+    (sampled composite-key boundaries could split one term's runs
+    mid-list, which the query side must then stitch back together —
+    see segment_rows_by_term)."""
+    return [(i << 64) // width for i in range(1, width)]
+
+
+def _merge_width(cfg: IndexConfig, g_rows: int | None, overlap: int = 1) -> int:
+    """Sorted-merge partition count: ~4 waves per CPU share so a
+    postings-heavy term range cannot straggle the whole merge (mean
+    merge task ~0.9 s, worst hot-range task ~5.6 s at sf1.0 when the
+    width was tied to the tokenizer's 64 output blocks)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    w = 4 * max(1, cpus // max(1, overlap))
+    if g_rows is not None:
+        # small builds: don't pay 100+ merge tasks for a few thousand docs
+        w = min(w, max(1, g_rows // 2000))
+    return max(1, w)
+
+
 def _build_group_segments(
     ds: rd.Dataset, cfg: IndexConfig, out_dir: str, two_level: bool,
     overlap: int = 1, g_rows: int | None = None,
@@ -238,12 +266,13 @@ def _build_group_segments(
         batch_size=cfg.tokenize_batch_size,
         concurrency=pool,
     )
+    bounds = _tid_boundaries(_merge_width(cfg, g_rows, overlap)) or None
     if two_level:
-        runs = runs.sort(["tid", "d0"]).map_batches(
+        runs = runs.sort(["tid", "d0"], boundaries=bounds).map_batches(
             make_merge_partial(cfg.salt_range), batch_format="pyarrow",
             batch_size=None,
         )
-    segments = runs.sort(["tid", "d0"]).map_batches(
+    segments = runs.sort(["tid", "d0"], boundaries=bounds).map_batches(
         make_merge_sorted(cfg.block_size), batch_format="pyarrow", batch_size=None
     )
     tmp = out_dir + ".tmp"

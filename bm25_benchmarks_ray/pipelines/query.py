@@ -219,12 +219,18 @@ class _DecodeCache:
         self.params, self.avgdl, self.s0 = params, avgdl, s0
         self.data: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
+    @staticmethod
+    def _key(row: dict) -> tuple[str, int]:
+        # a term split across sort partitions yields multiple parts
+        # (segment_rows_by_term) — cache each part separately
+        return (row["term"], row.get("_part", 0))
+
     def cached(self, row: dict) -> bool:
-        return row["term"] in self.data
+        return self._key(row) in self.data
 
     def __call__(self, row: dict) -> tuple[np.ndarray, np.ndarray]:
-        term = row["term"]
-        hit = self.data.get(term)
+        key = self._key(row)
+        hit = self.data.get(key)
         if hit is None:
             doc, tf, dl = self._decode(row, self.block_size, self.lo, self.hi)
             base = (
@@ -232,7 +238,7 @@ class _DecodeCache:
                 if doc.size
                 else np.empty(0, dtype=np.float64)
             )
-            hit = self.data[term] = (doc, base)
+            hit = self.data[key] = (doc, base)
         return hit
 
 
@@ -253,7 +259,7 @@ DENSE_RANGE_CAP = 16_000_000
 
 def score_range(
     plan: dict,
-    rows_by_term: dict[str, dict],
+    rows_by_term: dict[str, list[dict]],
     params: BM25Params,
     avgdl: float,
     k: int,
@@ -279,13 +285,16 @@ def score_range(
     q_terms: dict[int, list] = {}
     q_weights: dict[int, list[float]] = {}
     for term, fanout in plan["term_fanout"].items():
-        row = rows_by_term.get(term)
-        if row is None:
+        parts = rows_by_term.get(term)
+        if not parts:
             continue
+        # a split term's parts have disjoint doc ranges, so scoring each
+        # part as its own row with the term's weight is exact (a doc
+        # matches at most one part; contributions add)
         for qi, w_idf in fanout:
             if q_lo <= qi < q_hi:
-                q_terms.setdefault(qi, []).append(row)
-                q_weights.setdefault(qi, []).append(w_idf)
+                q_terms.setdefault(qi, []).extend(parts)
+                q_weights.setdefault(qi, []).extend([w_idf] * len(parts))
 
     def emit(qi: int, doc: np.ndarray, score: np.ndarray) -> None:
         if doc.size:
@@ -441,7 +450,7 @@ def make_score_slice(
             batch.column("q_hi").to_pylist(),
         ):
             terms_here = query_plan_terms(plan, q_lo, q_hi)
-            rows_by_term: dict[str, dict] = {}
+            rows_by_term: dict[str, list[dict]] = {}
             if terms_here:
                 from ..stages.segments import segment_rows_by_term
 

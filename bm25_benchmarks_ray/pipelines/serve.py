@@ -70,7 +70,10 @@ class GroupScorer:
         self.block_size = block_size
         self.lo, self.hi = lo, hi
         self.prune, self.dense_pad = prune, dense_pad
-        self.rows: dict[str, dict | None] = {}  # None = term absent here
+        # term -> list of segment-row parts (None = term absent here);
+        # multiple parts appear when a term was split across sort
+        # partitions at build time (segment_rows_by_term)
+        self.rows: dict[str, list[dict] | None] = {}
         self.decoded = _DecodeCache(
             block_size, lo, hi, params, avgdl, nonoccurrence_shape(params)
         )
@@ -80,9 +83,10 @@ class GroupScorer:
         self._ensure(terms)
         n = 0
         for t in terms:
-            row = self.rows.get(t)
-            if row is not None:
-                self.decoded(row)
+            parts = self.rows.get(t)
+            if parts is not None:
+                for row in parts:
+                    self.decoded(row)
                 n += 1
         return n
 
@@ -104,7 +108,7 @@ class GroupScorer:
         terms = query_plan_terms(plan, 0, n_q)
         self._ensure(terms)
         rows_by_term = {
-            t: row for t in terms if (row := self.rows.get(t)) is not None
+            t: parts for t in terms if (parts := self.rows.get(t)) is not None
         }
         if not rows_by_term and not self.dense_pad:
             return None

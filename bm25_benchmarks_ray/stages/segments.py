@@ -249,14 +249,23 @@ def decode_selected_blocks(
     return doc, tf, dl
 
 
-def segment_rows_by_term(seg: pa.Table) -> dict[str, dict]:
-    """{term: row-dict} for query-side consumers, with binary payloads
-    as zero-copy memoryviews over the Arrow buffers instead of
+def segment_rows_by_term(seg: pa.Table) -> dict[str, list[dict]]:
+    """{term: [row-dict, ...]} for query-side consumers, with binary
+    payloads as zero-copy memoryviews over the Arrow buffers instead of
     ``to_pylist()``'s per-row ``bytes`` copies (hot-term posting blobs
     are MBs each; the copy was pure memory traffic per scoring task).
     All decode paths consume them via ``np.frombuffer`` / slicing, both
-    memoryview-safe."""
-    out: dict[str, dict] = {}
+    memoryview-safe.
+
+    A term normally has ONE row per group, but a sampled composite-key
+    sort boundary (or a deliberate hot-term split) can break one term's
+    runs across two sorted blocks, yielding multiple self-contained
+    segment rows with disjoint doc ranges.  Dropping all but one row
+    silently loses postings — every consumer must score ALL parts.
+    Parts are returned sorted by first doc so concatenating their
+    decodes stays doc-ascending; each carries a ``_part`` index so
+    per-term decode caches can tell them apart."""
+    out: dict[str, list[dict]] = {}
     if seg.num_rows == 0:
         return out
     cols = {}
@@ -272,7 +281,18 @@ def segment_rows_by_term(seg: pa.Table) -> dict[str, dict]:
             row[name] = cols[name][i].as_py()
         for name in binary:
             row[name] = memoryview(cols[name][i].as_buffer())
-        out[t] = row
+        out.setdefault(t, []).append(row)
+    for parts in out.values():
+        if len(parts) > 1:
+            parts.sort(
+                key=lambda r: (
+                    int(np.frombuffer(r["blk_doc0"], dtype=np.int64)[0])
+                    if len(r["blk_doc0"])
+                    else -1
+                )
+            )
+        for i, r in enumerate(parts):
+            r["_part"] = i
     return out
 
 

@@ -26,7 +26,8 @@ def _make_rows(n_docs: int, n_terms: int, seed: int, block_size: int = 32):
         ).astype(np.int64)
         tf = rng.randint(1, 12, size=doc.size).astype(np.int64)
         dl = rng.randint(5, 120, size=doc.size).astype(np.int64)
-        rows[f"t{t}"] = encode_postings(f"t{t}", doc, tf, dl, block_size)
+        # rows_by_term maps term -> list of segment-row parts
+        rows[f"t{t}"] = [encode_postings(f"t{t}", doc, tf, dl, block_size)]
     return rows
 
 

@@ -242,68 +242,6 @@ class _DecodeCache:
         return hit
 
 
-class _SharedDecode:
-    """Decode-cache-compatible view over pre-decoded (doc, base) arrays
-    shared through the object store.  At k >= DENSE_K_CUTOFF every query
-    in every q-batch takes the dense/exhaustive path, so the (group,
-    slice) postings decode that each q-batch task would repeat
-    identically (16x at the sf8 defaults: 48 tasks = 3 groups x 16
-    q-batches, ~0.9 s of a 2.6 s task re-decoding the same postings)
-    runs ONCE per (group, slice) in ``_decode_slice_part`` tasks and is
-    read zero-copy by all of them."""
-
-    def __init__(self, data: dict):
-        self.data = data
-
-    @staticmethod
-    def cached(row: dict) -> bool:
-        return True
-
-    def __call__(self, row: dict) -> tuple[np.ndarray, np.ndarray]:
-        return self.data[(row["term"], row.get("_part", 0))]
-
-
-@ray.remote
-def _decode_slice_part(
-    group_dir: str,
-    terms: list[str],
-    block_size: int,
-    lo: int,
-    hi: int,
-    params: BM25Params,
-    avgdl: float,
-    s0: float,
-):
-    """Decode one term-chunk of one (group, doc-slice) once: term-pruned
-    parquet read + varint decode + tf_shape, returning lightweight row
-    stubs plus {(term, part): (doc, base)} arrays for _SharedDecode.
-    Score tasks that receive a ref to this skip the parquet read
-    entirely and become pure scatter-add compute."""
-    from ..stages.segments import decode_segment, segment_rows_by_term
-
-    seg = pads.dataset(group_dir).to_table(
-        filter=pc.field("term").isin(terms)
-    )
-    rows_by_term = segment_rows_by_term(seg)
-    light: dict[str, list[dict]] = {}
-    data: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
-    for term, rows in rows_by_term.items():
-        stubs = []
-        for row in rows:
-            part = row.get("_part", 0)
-            doc, tf, dl = decode_segment(row, block_size, lo, hi)
-            base = (
-                tf_shape(params, tf, dl, avgdl) - s0
-                if doc.size
-                else np.empty(0, dtype=np.float64)
-            )
-            data[(term, part)] = (doc, base)
-            stubs.append({"term": term, "_part": part})
-        if stubs:
-            light[term] = stubs
-    return light, data
-
-
 # Block-max MaxScore pruning pays off while the top-k threshold is
 # selective; at large k the kth score is low, terms stop being prunable
 # and the incremental per-term candidate merge (np.unique per term)
@@ -473,7 +411,6 @@ def make_score_slice(
     block_size: int,
     prune: bool = False,
     dense_pad: bool = False,
-    shared: dict | None = None,
 ):
     """Task fn scoring all queries against one (group, doc-range) slice.
 
@@ -512,28 +449,8 @@ def make_score_slice(
             batch.column("q_lo").to_pylist(),
             batch.column("q_hi").to_pylist(),
         ):
-            refs = shared.get((group_dir, lo, hi)) if shared else None
-            if refs is not None:
-                # pre-decoded (group, slice) arrays from the object
-                # store: zero parquet read, zero varint decode here
-                rows_by_term = {}
-                data: dict = {}
-                for light, d in ray.get(refs):
-                    rows_by_term.update(light)
-                    data.update(d)
-                if not rows_by_term and not dense_pad:
-                    continue
-                decoded = _SharedDecode(data)
-                qis, docs, scores = score_range(
-                    plan, rows_by_term, params, avgdl, k, block_size,
-                    lo, hi, q_lo, q_hi, prune, dense_pad, decoded,
-                )
-                out_qi += qis
-                out_doc += docs
-                out_score += scores
-                continue
             terms_here = query_plan_terms(plan, q_lo, q_hi)
-            rows_by_term = {}
+            rows_by_term: dict[str, list[dict]] = {}
             if terms_here:
                 from ..stages.segments import segment_rows_by_term
 
@@ -797,7 +714,16 @@ def search(
     n_q = len(plan["qids"])
     per_group = max(1, -(-target_tasks // max(1, len(gids))))
     if n_qbatch is None:
-        n_qbatch = min(per_group, max(1, n_q // 16))
+        # Per-task read volume is the q-batch's term blobs and is paid
+        # once per doc-slice, so total parquet bytes scale with
+        # n_slices while q-batching *divides* them.  At large k (dense
+        # path) the measured optimum is all-q-batches/no-slicing
+        # (sf8/32cpu k=1000: qb16×sl1 68 qps vs auto-12×2 61 vs 1×16
+        # 12 qps) — allow batches down to 8 queries there; at small k
+        # keep ≥16 queries per batch (per-query python overhead in the
+        # pruned scorer dominates below that).
+        min_q = 8 if k >= DENSE_K_CUTOFF else 16
+        n_qbatch = min(per_group, max(1, n_q // min_q))
     if n_slices is None:
         n_slices = max(1, -(-per_group // n_qbatch))
         # don't shred small corpora into confetti: a slice under ~64k
@@ -806,13 +732,11 @@ def search(
         n_slices = min(n_slices, max(1, per_group_docs // 65536))
     q_bounds = np.linspace(0, n_q, n_qbatch + 1).astype(np.int64)
     scatter = []
-    slice_bounds: dict[int, np.ndarray] = {}
     for g in gids:
         g_lo, g_hi = ranges.get(g, (0, num_docs))
         bounds = np.linspace(g_lo, g_hi, n_slices + 1).astype(np.int64)
         if not ranges:
             bounds[-1] = np.iinfo(np.int64).max  # unknown range: open tail
-        slice_bounds[g] = bounds
         scatter += [
             {
                 "group_dir": os.path.join(index_dir, SEGMENTS_DIR, f"group={g}"),
@@ -824,50 +748,10 @@ def search(
             for qb in range(n_qbatch)
             for s in range(n_slices)
         ]
-
-    # At k >= DENSE_K_CUTOFF every q-batch of every (group, slice) takes
-    # the dense/exhaustive path, so the per-slice postings decode is
-    # identical across the n_qbatch tasks that share the slice.  Decode
-    # each (group, slice) ONCE up front (term-chunked remote tasks) and
-    # hand the score tasks object-store refs: they become pure
-    # scatter-add compute, no parquet read, no varint decode.  Gated on
-    # known contiguous ranges (every slice must satisfy the dense-path
-    # width cap, or a stub row could reach the pruned scorer).
-    shared: dict | None = None
-    max_width = max(
-        (int((b[1:] - b[:-1]).max()) if len(b) > 1 else 0)
-        for b in slice_bounds.values()
-    ) if slice_bounds else 0
-    if (
-        k >= DENSE_K_CUTOFF
-        and n_qbatch >= 2
-        and ranges
-        and 0 < max_width <= DENSE_RANGE_CAP
-    ):
-        all_terms = query_plan_terms(plan, 0, n_q)
-        if all_terms:
-            s0 = nonoccurrence_shape(params)
-            n_chunks = max(
-                1, min(len(all_terms), target_tasks // max(1, len(gids) * n_slices))
-            )
-            chunks = [list(c) for c in np.array_split(all_terms, n_chunks) if len(c)]
-            shared = {}
-            for g in gids:
-                gd = os.path.join(index_dir, SEGMENTS_DIR, f"group={g}")
-                b = slice_bounds[g]
-                for s in range(n_slices):
-                    shared[(gd, int(b[s]), int(b[s + 1]))] = [
-                        _decode_slice_part.remote(
-                            gd, ch, cfg.block_size, int(b[s]), int(b[s + 1]),
-                            params, avgdl, s0,
-                        )
-                        for ch in chunks
-                    ]
-
     partials = rd.from_items(scatter).map_batches(
         make_score_slice(
             plan_ref, params, avgdl, k, cfg.block_size,
-            prune=(mode == "pruned"), dense_pad=dense_pad, shared=shared,
+            prune=(mode == "pruned"), dense_pad=dense_pad,
         ),
         batch_format="pyarrow",
         batch_size=1,

@@ -78,19 +78,18 @@ def test_scatter_shape_overrides_equal_results(built):
         pd.testing.assert_frame_equal(base, alt)
 
 
-def test_shared_decode_path_equal_results(built):
-    """k >= DENSE_K_CUTOFF with n_qbatch >= 2 activates the
-    decode-once-per-(group, slice) object-store sharing; results must be
-    identical to the unshared n_qbatch=1 run."""
+def test_large_k_shape_equal_results(built):
+    """k >= DENSE_K_CUTOFF (dense-accumulator regime): every scatter
+    shape — auto, all-q-batch, all-slice — must rank identically."""
     import pandas as pd
 
     from bm25_benchmarks_ray.pipelines import query as Q
 
     queries = synthesize_queries(10, seed=41)
     k = Q.DENSE_K_CUTOFF
-    base = search(built, queries, k=k, n_qbatch=1, n_slices=2).to_pandas()
+    base = search(built, queries, k=k).to_pandas()
     base = base.sort_values(["qid", "rank"]).reset_index(drop=True)
-    for qb, sl in [(2, 2), (5, 1)]:
+    for qb, sl in [(1, 2), (2, 2), (5, 1)]:
         alt = search(built, queries, k=k, n_qbatch=qb, n_slices=sl).to_pandas()
         alt = alt.sort_values(["qid", "rank"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(base, alt)

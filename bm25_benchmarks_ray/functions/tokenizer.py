@@ -92,12 +92,18 @@ def hf_splitter(name_or_path: str) -> Callable[[str], list[str]]:
 
 def resolve_splitter(spec) -> Callable[[str], list[str]]:
     """"regex" (default, the reference's ``(?u)\\b\\w\\w+\\b``),
-    "hf:<name-or-tokenizer.json>", or any ``str -> list[str]``
-    callable."""
+    "hf:<name-or-tokenizer.json>" (needs the ``tokenizers`` package),
+    "wordpiece:<vocab.json|vocab.txt>" (the vendored WordPiece,
+    functions/wordpiece.py — no external deps), or any
+    ``str -> list[str]`` callable."""
     if spec in (None, "regex"):
         return TOKEN_RE.findall
     if isinstance(spec, str) and spec.startswith("hf:"):
         return hf_splitter(spec[3:])
+    if isinstance(spec, str) and spec.startswith("wordpiece:"):
+        from .wordpiece import load_vocab, wordpiece_splitter
+
+        return wordpiece_splitter(load_vocab(spec[len("wordpiece:"):]))
     if callable(spec):
         return spec
     raise ValueError(f"unrecognized splitter spec: {spec!r}")

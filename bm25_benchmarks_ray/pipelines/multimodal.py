@@ -1,15 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary columns with
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
-Image decode is REAL: ``decode_backend="real"`` dispatches on magic
-bytes to the pure-stdlib PNG / 24-bit BMP codec
-(functions/imagecodec.py) — no PIL/opencv needed.  Audio decode is
-REAL too: 16-bit PCM WAV via stdlib ``wave``
-(functions/audiocodec.py).  Video real decode remains the one stub
-(the container genuinely lacks ffmpeg); the deterministic fake backend
-derives pixel/sample content from the payload bytes so every
-downstream stage (resize, feature extract, frame sample) runs real
-numpy on real arrays either way.
+All three decode paths are REAL under ``decode_backend="real"``:
+images dispatch on magic bytes to the pure-stdlib PNG / 24-bit BMP
+codec (functions/imagecodec.py), audio is 16-bit PCM WAV via stdlib
+``wave`` (functions/audiocodec.py), and video is YUV4MPEG2 (Y4M)
+(functions/videocodec.py) — no PIL/opencv/ffmpeg needed.  The
+deterministic fake backend derives pixel/sample content from the
+payload bytes so every downstream stage (resize, feature extract,
+frame sample) runs real numpy on real arrays either way.
 
 Batch-size note (100 TB): binary payloads dominate block size; keep
 ``batch_size`` small (default 64) so batch × concurrency fits worker
@@ -55,13 +54,15 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def synthesize_media(
-    n: int, seed: int = 9, image_format: str = "raw", audio_format: str = "raw"
+    n: int, seed: int = 9, image_format: str = "raw", audio_format: str = "raw",
+    video_format: str = "raw",
 ) -> pa.Table:
     """Deterministic fake media table: payload bytes derived from
     (seed, media_id); metadata consistent with payload length.
-    image_format="png"/"bmp" emits REAL encoded image payloads and
-    audio_format="wav" REAL 16-bit PCM WAV (for the real decode
-    backends); "raw" keeps bare pixel/sample bytes (fake backend)."""
+    image_format="png"/"bmp" emits REAL encoded image payloads,
+    audio_format="wav" REAL 16-bit PCM WAV, and video_format="y4m"
+    REAL mono YUV4MPEG2 streams (for the real decode backends); "raw"
+    keeps bare pixel/sample/frame bytes (fake backend)."""
     rng = np.random.RandomState(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)[
         rng.randint(0, 3, size=n)
@@ -96,8 +97,19 @@ def synthesize_media(
             metas.append(json.dumps({"sample_rate": 16000, "n_samples": ns}))
         else:
             nf = 4 + h[0] % 12
-            payloads.append((h * ((nf * 64) // len(h) + 1))[: nf * 64])
-            metas.append(json.dumps({"n_frames": nf, "frame_bytes": 64}))
+            if video_format == "y4m":
+                from ..functions.videocodec import encode_y4m
+
+                w, hgt = 8 + h[2] % 8, 8 + h[3] % 8
+                raw = (h * ((nf * hgt * w) // len(h) + 1))[: nf * hgt * w]
+                frames = np.frombuffer(raw, dtype=np.uint8).reshape(nf, hgt, w)
+                payloads.append(encode_y4m(frames))
+                metas.append(
+                    json.dumps({"n_frames": nf, "width": w, "height": hgt})
+                )
+            else:
+                payloads.append((h * ((nf * 64) // len(h) + 1))[: nf * 64])
+                metas.append(json.dumps({"n_frames": nf, "frame_bytes": 64}))
     return pa.table(
         {
             "media_id": pa.array(range(n), type=pa.int64()),
@@ -219,13 +231,20 @@ class AudioFeatures:
 
 class SampleFrames:
     """Actor stage: video payload → every k-th frame as binary rows
-    (one output row per sampled frame)."""
+    (one output row per sampled frame).
 
-    def __init__(self, every: int = 2):
+    decode_backend="real" parses Y4M streams (functions/videocodec.py)
+    — width/height/frame count come from the container itself and each
+    emitted frame is that frame's raw pixel bytes.  The fake backend
+    slices the payload into meta-declared fixed-size byte frames
+    (width=frame_bytes, height=1)."""
+
+    def __init__(self, every: int = 2, decode_backend: str = "fake"):
         self.every = every
+        self.backend = decode_backend
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, fidx, frames = [], [], []
+        ids, fidx, ws, hs, frames = [], [], [], [], []
         for mid, kind, payload, meta_s in zip(
             batch.column("media_id").to_pylist(),
             batch.column("kind").to_pylist(),
@@ -234,16 +253,31 @@ class SampleFrames:
         ):
             if kind != "video":
                 continue
+            if self.backend == "real":
+                from ..functions.videocodec import decode_y4m
+
+                dec, meta = decode_y4m(payload)
+                for i in range(0, meta["n_frames"], self.every):
+                    ids.append(mid)
+                    fidx.append(i)
+                    ws.append(meta["width"])
+                    hs.append(meta["height"])
+                    frames.append(dec[i].tobytes())
+                continue
             meta = json.loads(meta_s)
             fb, nf = meta["frame_bytes"], meta["n_frames"]
             for i in range(0, nf, self.every):
                 ids.append(mid)
                 fidx.append(i)
+                ws.append(fb)
+                hs.append(1)
                 frames.append(payload[i * fb : (i + 1) * fb])
         return pa.table(
             {
                 "media_id": pa.array(ids, type=pa.int64()),
                 "frame_idx": pa.array(fidx, type=pa.int32()),
+                "width": pa.array(ws, type=pa.int32()),
+                "height": pa.array(hs, type=pa.int32()),
                 "frame": pa.array(frames, type=pa.binary()),
             }
         )

@@ -289,6 +289,21 @@ def q_embed_cosine_pairs(sf_dir: str, threshold: float = 0.4):
     return cosine_pairs(ds, threshold=threshold)
 
 
+def q_embed_lsh_pairs(sf_dir: str, threshold: float = 0.4):
+    """Random-hyperplane LSH near-dup pairs, exact-cosine verified —
+    value-hash-matches the exact all-pairs SQL because the band
+    parameters put the per-pair miss probability below 1e-6
+    (pipelines/similarity.hyperplane_lsh_pairs docstring)."""
+    import ray.data as rd
+
+    from .pipelines.similarity import hyperplane_lsh_pairs
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return hyperplane_lsh_pairs(ds, threshold=threshold)
+
+
 def q_embed_ivf_topk(sf_dir: str):
     import ray.data as rd
 
@@ -710,6 +725,10 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "embed_cosine_topk": EMBED_TOPK_SQL,
     "embed_cosine_pairs": EMBED_PAIRS_SQL,
+    # LSH pairs: verified-exact output; band params make the per-pair
+    # miss probability ≤1e-6, so the exact all-pairs SQL is the oracle
+    # (same argument as minhash's exact-Jaccard oracle below)
+    "embed_lsh_pairs": EMBED_PAIRS_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,
     "token_count": TOKEN_COUNT_SQL,
@@ -754,6 +773,7 @@ def build_queries() -> dict:
             "simhash_pairs": q_simhash,
             "embed_cosine_topk": q_embed_cosine_topk,
             "embed_cosine_pairs": q_embed_cosine_pairs,
+            "embed_lsh_pairs": q_embed_lsh_pairs,
             "embed_ivf_topk": q_embed_ivf_topk,
             "lang_id": q_lang_id,
             "quality_score": q_quality_score,

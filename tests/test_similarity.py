@@ -113,3 +113,49 @@ def test_ivf_build_prunes_reads(embdata, tmp_path):
     # search over the built index still answers every query
     out = ivf_search(idx, vecs[:3], k=5).to_pandas()
     assert set(out["qi"]) == {0, 1, 2}
+
+
+def test_hyperplane_lsh_pairs_equals_exact(embdata):
+    """LSH-with-verify output equals exact all-pairs at the defaults
+    (miss probability ≤1e-6 per qualifying pair — docstring math)."""
+    import pandas as pd
+
+    from bm25_benchmarks_ray.pipelines.similarity import hyperplane_lsh_pairs
+
+    t, _ = embdata
+    ds = rd.from_arrow(t)
+    tau = 0.9  # clustered fixture: same-cluster pairs sit well above
+    exact = (
+        cosine_pairs(ds, threshold=tau).to_pandas()
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert len(exact) > 50  # the fixture must actually exercise this
+    lsh = (
+        hyperplane_lsh_pairs(ds, threshold=tau, bands=48, bits=3)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(lsh, exact)
+    # determinism: seeded hyperplanes → identical output
+    again = (
+        hyperplane_lsh_pairs(ds, threshold=tau, bands=48, bits=3)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(lsh, again)
+
+
+def test_hyperplane_lsh_drop_report(embdata):
+    """Over-cap LSH buckets are counted, never silently skipped."""
+    from bm25_benchmarks_ray.pipelines.dedup import DropReport
+    from bm25_benchmarks_ray.pipelines.similarity import hyperplane_lsh_pairs
+
+    t, _ = embdata
+    ds = rd.from_arrow(t)
+    rep = DropReport()
+    out = hyperplane_lsh_pairs(
+        ds, threshold=0.9, max_bucket=4, drop_report=rep
+    ).to_pandas()
+    dropped = rep.get()
+    # 400 vecs over 2^3-way buckets: every band bucket exceeds cap=4
+    assert dropped["dropped_buckets"] > 0
+    assert dropped["dropped_docs"] > 0
+    assert len(out) == 0 or out["cosine"].min() >= 0.9

@@ -484,18 +484,11 @@ def hyperplane_lsh_pairs(
 
     def rename(key: str, val: str):
         def f(b: pa.Table) -> pa.Table:
-            m = _batch_matrix(b, vec_col)
-            packed = m.tobytes()
-            w = dim * 8
-            return pa.table(
-                {
-                    key: b.column(id_col),
-                    val: pa.array(
-                        [packed[i * w : (i + 1) * w] for i in range(b.num_rows)],
-                        type=pa.binary(),
-                    ),
-                }
+            m = np.ascontiguousarray(_batch_matrix(b, vec_col))
+            packed = pa.Array.from_buffers(
+                pa.binary(dim * 8), b.num_rows, [None, pa.py_buffer(m.tobytes())]
             )
+            return pa.table({key: b.column(id_col), val: packed})
 
         return f
 
@@ -509,11 +502,11 @@ def hyperplane_lsh_pairs(
     )
 
     def unpack(col: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
+        # fixed_size_binary data buffer IS the row-major float64 matrix
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        return np.frombuffer(
-            b"".join(col.to_pylist()), dtype=np.float64
-        ).reshape(n, dim)
+        rows = np.frombuffer(col.buffers()[1], dtype=np.float64).reshape(-1, dim)
+        return rows[col.offset : col.offset + n]
 
     def verify_pairs(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:

@@ -91,33 +91,40 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
         timings["query"], n_res = timed(
             lambda: search(idx, queries, params=params, k=10).count()
         )
-        # k=1000: the reference's published qps are top_k=1000
-        # (/root/reference/README.md:81) — candidate sets and partial-row
-        # volume behave very differently than k=10
-        timings["query_k1000"], n_res_1k = timed(
-            lambda: search(idx, queries, params=params, k=1000).count()
-        )
+        # --scaling legs only need index + k=10 query throughput; skip
+        # the k=1000 / latency / serving phases there (GRAFT_BENCH_QUICK)
+        quick = os.environ.get("GRAFT_BENCH_QUICK") == "1"
+        n_res_1k = 0
+        if not quick:
+            # k=1000: the reference's published qps are top_k=1000
+            # (/root/reference/README.md:81) — candidate sets and
+            # partial-row volume behave very differently than k=10
+            timings["query_k1000"], n_res_1k = timed(
+                lambda: search(idx, queries, params=params, k=1000).count()
+            )
 
-        lats = []
-        for q in queries[:lat_sample]:
-            t0 = time.perf_counter()
-            search(idx, [q], params=params, k=10).count()
-            lats.append(time.perf_counter() - t0)
-        lats = np.array(lats)
+        lats = served = np.array([float("nan")])
+        if not quick:
+            lats = []
+            for q in queries[:lat_sample]:
+                t0 = time.perf_counter()
+                search(idx, [q], params=params, k=10).count()
+                lats.append(time.perf_counter() - t0)
+            lats = np.array(lats)
 
-        # persistent serving actors (pipelines/serve.py): the
-        # low-latency path — same score_range core, rank-identical
-        from bm25_benchmarks_ray.pipelines.serve import BM25Server
+            # persistent serving actors (pipelines/serve.py): the
+            # low-latency path — same score_range core, rank-identical
+            from bm25_benchmarks_ray.pipelines.serve import BM25Server
 
-        srv = BM25Server(idx, params=params)
-        srv.warm(queries)
-        served = []
-        for q in queries[:lat_sample]:
-            t0 = time.perf_counter()
-            srv.search([q], k=10)
-            served.append(time.perf_counter() - t0)
-        srv.close()
-        served = np.array(served)
+            srv = BM25Server(idx, params=params)
+            srv.warm(queries)
+            served = []
+            for q in queries[:lat_sample]:
+                t0 = time.perf_counter()
+                srv.search([q], k=10)
+                served.append(time.perf_counter() - t0)
+            srv.close()
+            served = np.array(served)
 
         # supplementary large-corpus index measurement: the sf0.1 corpus
         # (120k turns) is fixed-overhead-dominated; a 1.2M-turn build
@@ -125,7 +132,7 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
         # the main run is already large or explicitly disabled)
         large = {}
         large_sf = float(os.environ.get("GRAFT_BENCH_LARGE_SF", "1.0"))
-        if large_sf > sf:
+        if large_sf > sf and not quick:
             lcorpus = transcripts_dir(large_sf)
             lidx = os.path.join(BENCH_ROOT, f"idx_sf{large_sf}_cpus{num_cpus}")
             shutil.rmtree(lidx, ignore_errors=True)
@@ -152,12 +159,14 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
             "n_result_rows": int(n_res),
             "index_turns_per_s": round(n_turns / timings["index"], 1),
             "query_qps": round(n_queries / timings["query"], 1),
-            "query_k1000_qps": round(n_queries / timings["query_k1000"], 1),
-            "n_result_rows_k1000": int(n_res_1k),
-            "query_p50_s": round(float(np.percentile(lats, 50)), 4),
-            "query_p99_s": round(float(np.percentile(lats, 99)), 4),
-            "query_served_p50_s": round(float(np.percentile(served, 50)), 4),
-            "query_served_p99_s": round(float(np.percentile(served, 99)), 4),
+            **({"query_k1000_qps": round(n_queries / timings["query_k1000"], 1),
+                "n_result_rows_k1000": int(n_res_1k)}
+               if "query_k1000" in timings else {}),
+            **({"query_p50_s": round(float(np.percentile(lats, 50)), 4),
+                "query_p99_s": round(float(np.percentile(lats, 99)), 4),
+                "query_served_p50_s": round(float(np.percentile(served, 50)), 4),
+                "query_served_p99_s": round(float(np.percentile(served, 99)), 4)}
+               if not quick else {}),
             **large,
         }
     finally:
@@ -188,9 +197,16 @@ def run_scaling(sf_dir: str, cpus_lo: int = 4, cpus_hi: int = 16,
         # OMP_NUM_THREADS caps pyarrow's internal thread pool too;
         # without it the "8 CPU" leg quietly uses all physical cores for
         # parquet decode/compute and the comparison is dishonest
+        # 8000 queries (vs the single-run default 200): per-search-call
+        # fixed cost (~1s: Ray Data job startup + plan broadcast +
+        # driver merge) is the same absolute seconds at both legs, so
+        # at 2000 queries it bills the faster leg ~15% of its wall but
+        # the slower leg ~5% — deflating measured efficiency for a cost
+        # that amortizes away on any real batch workload.  8000 queries
+        # keeps the fixed share <4% on both legs.
         env = dict(os.environ, GRAFT_SF_DIR=sf_dir, RAY_GRAFT_CPUS=str(cpus),
-                   GRAFT_BENCH_SF=str(scaling_sf), GRAFT_BENCH_NQ="2000",
-                   OMP_NUM_THREADS=str(cpus))
+                   GRAFT_BENCH_SF=str(scaling_sf), GRAFT_BENCH_NQ="8000",
+                   GRAFT_BENCH_QUICK="1", OMP_NUM_THREADS=str(cpus))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, timeout=3600,

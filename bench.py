@@ -9,6 +9,8 @@ RAY_GRAFT_CPUS=4 then =16; see run_scaling's docstring for why 4→16 is
 the honest single-box N→4N pair) on the same input and reports both
 throughputs plus scaling efficiency = (tp_hi/tp_lo)/(hi/lo) — the
 sandbox evidence for the two-cluster-size criterion (BASELINE.md).
+Each leg is taskset-pinned to exactly its core count so the low leg
+cannot borrow physical cores beyond its nominal "cluster size".
 
 Phases (mirroring the reference's timed lifecycle, SURVEY.md §3.1):
   index      build the inverted index over synthetic transcripts at the
@@ -44,6 +46,13 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              logging_level="ERROR")
+    # Driver-side Arrow kernels (merge sort in query gather) should use
+    # the leg's full core budget even when OMP_NUM_THREADS=1 is exported
+    # to keep WORKERS single-threaded (1 task slot = 1 core; Ray only
+    # defaults worker OMP to assigned CPUs when the env var is unset).
+    import pyarrow as pa
+
+    pa.set_cpu_count(num_cpus)
     try:
         from bm25_benchmarks_ray.config import IndexConfig
         from bm25_benchmarks_ray.functions.bm25 import BM25Params
@@ -191,12 +200,22 @@ def run_scaling(sf_dir: str, cpus_lo: int = 4, cpus_hi: int = 16,
     32-CPU leg's absolute rate).  At 4→16 the high leg still has box
     headroom, making it the honest single-box emulation (BASELINE.md
     records both pairs).  Override with --cpus-lo/--cpus-hi.
+
+    Each leg is additionally pinned with ``taskset -c 0-(cpus-1)``:
+    Ray's num_cpus only caps task SLOTS, so an unpinned "4-CPU" leg
+    still spreads its worker/OMP/raylet/object-store threads over all
+    physical cores — borrowing compute a real 4-core node lacks, which
+    inflates the low leg and deflates measured efficiency.
     """
     results = {}
     for cpus in (cpus_lo, cpus_hi):
-        # OMP_NUM_THREADS caps pyarrow's internal thread pool too;
-        # without it the "8 CPU" leg quietly uses all physical cores for
-        # parquet decode/compute and the comparison is dishonest
+        # OMP_NUM_THREADS=1 keeps every WORKER's OMP/Arrow/BLAS pool at
+        # one thread (1 Ray task slot = 1 core — Ray's own default when
+        # the var is unset, which an exported value would override; a
+        # leg whose 14 actors each spin up `cpus` Arrow threads either
+        # spills onto cores outside its budget or thrashes the pinned
+        # set).  The driver's Arrow pool is re-widened to the leg's
+        # budget via pa.set_cpu_count in run_bench.
         # 8000 queries (vs the single-run default 200): per-search-call
         # fixed cost (~1s: Ray Data job startup + plan broadcast +
         # driver merge) is the same absolute seconds at both legs, so
@@ -206,10 +225,18 @@ def run_scaling(sf_dir: str, cpus_lo: int = 4, cpus_hi: int = 16,
         # keeps the fixed share <4% on both legs.
         env = dict(os.environ, GRAFT_SF_DIR=sf_dir, RAY_GRAFT_CPUS=str(cpus),
                    GRAFT_BENCH_SF=str(scaling_sf), GRAFT_BENCH_NQ="8000",
-                   GRAFT_BENCH_QUICK="1", OMP_NUM_THREADS=str(cpus))
+                   GRAFT_BENCH_QUICK="1", OMP_NUM_THREADS="1")
+        # taskset pins the leg (driver + every forked Ray child inherits
+        # the affinity mask) to exactly `cpus` physical cores.  Without
+        # it the "4-CPU" leg is only capped in Ray task SLOTS — its 4
+        # concurrent workers, OMP pools, raylet/object-store threads and
+        # driver merge float over all 32 physical cores, so the low leg
+        # borrows cores + cache + DRAM a real 4-core node would not have.
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=3600,
+            cmd, env=env, capture_output=True, text=True, timeout=3600,
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)

@@ -183,8 +183,14 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
 
 
 def run_scaling(sf_dir: str, cpus_lo: int = 4, cpus_hi: int = 16,
-                scaling_sf: float = 8.0) -> dict:
+                scaling_sf: float = 8.0, reps: int = 2) -> dict:
     """Fresh process per parallelism level; same input.
+
+    ``reps`` alternating repetitions per leg (lo,hi,hi,lo,...), best
+    throughput kept per leg/phase: this shared VM's throughput swings
+    >2x between adjacent minutes (BASELINE.md variance caveat), and a
+    single lo→hi pass charges whichever leg hits the bad window.
+    Alternation + best-of exposes both legs to the same windows.
 
     Uses a corpus ~80x the default bench sf: at sf0.1 (120k turns) the
     whole job is a few core-seconds of real work plus fixed Ray job
@@ -207,8 +213,12 @@ def run_scaling(sf_dir: str, cpus_lo: int = 4, cpus_hi: int = 16,
     physical cores — borrowing compute a real 4-core node lacks, which
     inflates the low leg and deflates measured efficiency.
     """
-    results = {}
-    for cpus in (cpus_lo, cpus_hi):
+    results: dict[int, dict] = {}
+    order: list[int] = []
+    for r in range(max(1, reps)):
+        pair = (cpus_lo, cpus_hi) if r % 2 == 0 else (cpus_hi, cpus_lo)
+        order.extend(pair)
+    for cpus in order:
         # OMP_NUM_THREADS=1 keeps every WORKER's OMP/Arrow/BLAS pool at
         # one thread (1 Ray task slot = 1 core — Ray's own default when
         # the var is unset, which an exported value would override; a
@@ -239,7 +249,18 @@ def run_scaling(sf_dir: str, cpus_lo: int = 4, cpus_hi: int = 16,
             cmd, env=env, capture_output=True, text=True, timeout=3600,
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        rep = json.loads(line)
+        best = results.get(cpus)
+        if best is None:
+            results[cpus] = rep
+        else:  # best-of per phase (max throughput / min seconds)
+            for phase in ("index", "query"):
+                best["queries"][phase] = min(best["queries"][phase],
+                                             rep["queries"][phase])
+            best["index_turns_per_s"] = max(best["index_turns_per_s"],
+                                            rep["index_turns_per_s"])
+            best["query_qps"] = max(best["query_qps"], rep["query_qps"])
+            best["value"] = min(best["value"], rep["value"])
     lo, hi = results[cpus_lo], results[cpus_hi]
     ratio = cpus_hi / cpus_lo
     eff_index = (hi["index_turns_per_s"] / lo["index_turns_per_s"]) / ratio
@@ -256,6 +277,7 @@ def run_scaling(sf_dir: str, cpus_lo: int = 4, cpus_hi: int = 16,
         },
         "sf": lo["sf"],
         "num_cpus": cpus_hi,
+        "reps": max(1, reps),
         "index_turns_per_s": {str(cpus_lo): lo["index_turns_per_s"],
                               str(cpus_hi): hi["index_turns_per_s"]},
         "query_qps": {str(cpus_lo): lo["query_qps"], str(cpus_hi): hi["query_qps"]},
@@ -270,12 +292,14 @@ def main() -> None:
     ap.add_argument("--cpus-lo", type=int, default=4)
     ap.add_argument("--cpus-hi", type=int, default=16)
     ap.add_argument("--scaling-sf", type=float, default=8.0)
+    ap.add_argument("--reps", type=int, default=2,
+                    help="alternating repetitions per scaling leg (best-of)")
     args = ap.parse_args()
     sf_dir = os.environ.get("GRAFT_SF_DIR", SF_DIR_DEFAULT)
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if args.scaling:
         print(json.dumps(run_scaling(sf_dir, args.cpus_lo, args.cpus_hi,
-                                     args.scaling_sf)))
+                                     args.scaling_sf, reps=args.reps)))
     else:
         print(json.dumps(run_bench(sf_dir, num_cpus)))
 

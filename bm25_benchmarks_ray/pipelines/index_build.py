@@ -92,11 +92,26 @@ def _file_rows(files: list[str]) -> list[int]:
     return [pq.ParquetFile(f).metadata.num_rows for f in files]
 
 
-def _plan_groups(files: list[str], rows: list[int], n_groups: int | None) -> list[list[int]]:
-    """Split file indices into contiguous groups of ~TARGET_GROUP_DOCS."""
+def _plan_groups(
+    files: list[str], rows: list[int], n_groups: int | None, overlap: int = 1
+) -> list[list[int]]:
+    """Split file indices into contiguous groups of ~TARGET_GROUP_DOCS.
+
+    When auto-sizing, the count is rounded to a multiple of the build
+    overlap: with e.g. 3 groups at overlap=2 the last group runs ALONE
+    on a half-width tokenizer pool for a third of the build (measured
+    35 s of a 102 s sf8 build at 16 CPUs).  Rounding down is preferred
+    while groups stay within ~1.5x the target size; otherwise round up.
+    """
     total = sum(rows)
     if n_groups is None:
         n_groups = max(1, min(256, -(-total // TARGET_GROUP_DOCS)))
+        if overlap > 1 and n_groups > 1 and n_groups % overlap:
+            down = (n_groups // overlap) * overlap
+            if down >= 1 and total / down <= 1.5 * TARGET_GROUP_DOCS:
+                n_groups = down
+            else:
+                n_groups += overlap - (n_groups % overlap)
     n_groups = min(n_groups, len(files))
     groups: list[list[int]] = [[] for _ in range(n_groups)]
     target = total / n_groups
@@ -335,7 +350,7 @@ def build_index(
     if man.is_complete():
         return man
 
-    groups = _plan_groups(files, rows, n_groups)
+    groups = _plan_groups(files, rows, n_groups, overlap=cfg.build_overlap)
     man.n_groups = len(groups)
     man.inventory = inventory
     # crash-resume with a changed file set: drop done groups whose

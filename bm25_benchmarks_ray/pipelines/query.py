@@ -40,6 +40,8 @@ append-padding (exact only for non-negative-idf scoring).
 from __future__ import annotations
 
 import os
+import sys
+import time
 from collections import Counter
 
 import numpy as np
@@ -452,6 +454,12 @@ def make_score_slice(
             terms_here = query_plan_terms(plan, q_lo, q_hi)
             rows_by_term: dict[str, list[dict]] = {}
             if terms_here:
+                # read fresh per task: a per-worker (group, term)→rows
+                # LRU was A/B-measured here (best-of-3 alternating,
+                # pinned 16 CPUs, 8000 q) at NO win — the term-pruned
+                # parquet re-read is page-cached + cheap to decompress,
+                # and the cache added heap pressure.  Negative result;
+                # see BASELINE.md round 3.
                 from ..stages.segments import segment_rows_by_term
 
                 seg = pads.dataset(group_dir).to_table(
@@ -671,12 +679,17 @@ def search(
     num_docs = man.stats["num_docs"]
     avgdl = man.stats["avgdl"]
 
+    t0 = time.perf_counter()
     tokenized = tokenize_queries(queries, cfg)
+    t1 = time.perf_counter()
     plan = _query_plan(
         tokenized, index_dir, params, num_docs,
         avg_idf=man.stats.get("avg_robertson_idf"),
     )
     plan_ref = ray.put(plan)
+    if os.environ.get("BM25RD_TIMING"):
+        print(f"[timing] query.tokenize: {t1 - t0:.3f}s  "
+              f"query.plan: {time.perf_counter() - t1:.3f}s", file=sys.stderr)
 
     gids = man.done_groups()
     if groups is not None:
@@ -702,11 +715,16 @@ def search(
             ranges = {}  # overlapping groups: ranges unusable
     dense_pad = dense_ids and bool(ranges)
 
-    # 1.5x CPU slots of tasks: one full wave plus a half wave to absorb
-    # stragglers (measured ~10-20% over exactly-one-wave at 32 CPUs)
-    target_tasks = 48
+    # 3x CPU slots of tasks (~3 waves): q-batches are skewed (a batch
+    # whose queries hit hot terms decodes far more postings), and three
+    # waves pack around the stragglers.  Measured on pinned cores, sf8,
+    # 8000 queries: 16 CPUs k=10 — 24 tasks/1.5 waves 389 qps, 48/3
+    # waves 500, 96/6 waves 434 (per-task term-read duplication takes
+    # over below ~300 queries/batch); k=1000 — 65 / 119 / 96 qps same
+    # order; 4 CPUs k=10 — 2 waves 142, 3 waves 155, 6 waves 130.
+    target_tasks = 96
     if ray.is_initialized():
-        target_tasks = max(8, int(ray.cluster_resources().get("CPU", 32) * 3 // 2))
+        target_tasks = max(8, int(ray.cluster_resources().get("CPU", 32) * 3))
     # Parallelism comes from groups × query-batches × doc-slices, filled
     # in that order: query batching is free (no duplicated decode, no
     # per-slice python overhead), doc-slicing is the fallback for small
@@ -772,8 +790,15 @@ def search(
     # beyond that the distributed groupby merge takes over.
     n_partial_est = len(plan["qids"]) * k * len(gids) * n_slices
     if n_partial_est <= 30_000_000:
+        t_score = time.perf_counter()
         tbl = _collect_arrow(partials)
+        t_merge = time.perf_counter()
         merged_tbl = _merge_partials_local(tbl, plan, k, num_docs, legacy_pad)
+        if os.environ.get("BM25RD_TIMING"):
+            print(f"[timing] query.score_job: {t_merge - t_score:.3f}s  "
+                  f"query.merge: {time.perf_counter() - t_merge:.3f}s  "
+                  f"tasks={len(scatter)} partial_rows={tbl.num_rows}",
+                  file=sys.stderr)
         extra = _empty_query_results(plan, k, num_docs, legacy_pad)
         if extra.num_rows:
             merged_tbl = pa.concat_tables([merged_tbl, extra])

@@ -66,3 +66,50 @@ def test_single_doc_corpus(ray_session, tmp_path):
     assert list(q["doc_id"]) == [0] and (q["score"] > 0).all()
     q2 = res[res["qid"] == "q2"]
     assert list(q2["doc_id"]) == [0] and (q2["score"] == 0.0).all()
+
+
+def test_plan_groups_rounds_to_overlap_multiple():
+    from bm25_benchmarks_ray.pipelines.index_build import (
+        TARGET_GROUP_DOCS,
+        _plan_groups,
+    )
+
+    # 2.4x the target -> auto plan is 3 groups; at overlap=2 that leaves
+    # a half-width straggler wave, so the planner rounds DOWN to 2
+    # (groups stay under 1.5x target)
+    files = [f"f{i}" for i in range(24)]
+    rows = [TARGET_GROUP_DOCS // 10] * 24
+    assert len(_plan_groups(files, rows, None, overlap=2)) == 2
+    # 1.8x target -> 2 groups is already a multiple of 2
+    assert len(_plan_groups(files, rows[:18], None, overlap=2)) == 2
+    # rounding down would blow past 1.5x target -> round UP instead:
+    # 5 groups at 1.0x target each -> 6 groups at overlap=4? no: 5->8
+    # would shrink groups, 5->4 gives 1.25x target (allowed)
+    rows5 = [TARGET_GROUP_DOCS // 4] * 20  # 5.0x target
+    assert len(_plan_groups(files[:20], rows5, None, overlap=2)) == 4
+    # explicit n_groups is never overridden
+    assert len(_plan_groups(files, rows, 3, overlap=2)) == 3
+    # overlap=1 keeps the pure ceil plan
+    assert len(_plan_groups(files, rows, None, overlap=1)) == 3
+
+
+def test_rebuild_at_same_path_serves_new_postings(ray_session, tmp_path):
+    # same index path, different corpus: no layer (worker state, plan
+    # df lookups, manifest) may serve postings from the old build
+    def write(texts):
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts)}),
+            os.path.join(tmp_path, "docs.parquet"),
+        )
+
+    idx = str(tmp_path / "idx")
+    write(["needle one", "hay two", "hay three"])
+    build_index(str(tmp_path), idx, IndexConfig(), mode="documents", fresh=True)
+    r1 = search(idx, [("q", "needle")], k=1).to_pandas()
+    assert r1.iloc[0]["doc_id"] == 0
+
+    write(["hay one", "hay two", "needle three"])
+    build_index(str(tmp_path), idx, IndexConfig(), mode="documents", fresh=True)
+    r2 = search(idx, [("q", "needle")], k=1).to_pandas()
+    assert r2.iloc[0]["doc_id"] == 2

@@ -168,6 +168,8 @@ _EMPTY_PARTIALS = pa.table(
         "score": pa.array([], type=pa.float64()),
     }
 )
+_EMPTY_I32 = np.empty(0, dtype=np.int32)
+_EMPTY_F64 = np.empty(0, dtype=np.float64)
 
 
 def _topk_ties(doc: np.ndarray, score: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -220,6 +222,15 @@ class _DecodeCache:
         self.block_size, self.lo, self.hi = block_size, lo, hi
         self.params, self.avgdl, self.s0 = params, avgdl, s0
         self.data: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        # dense-path caches: doc - lo as int32 (valid: dense slices are
+        # capped at DENSE_RANGE_CAP << 2^31 docs wide) and w·base per
+        # (term, weight) — queries in a batch overwhelmingly share a
+        # term's weight (same idf, qtf almost always 1), so hot terms
+        # pay the offset subtraction and the scale multiply once per
+        # task instead of once per query
+        self._off: dict = {}
+        self._scaled: dict = {}
+        self._nscaled: dict = {}
 
     @staticmethod
     def _key(row: dict) -> tuple[str, int]:
@@ -242,6 +253,29 @@ class _DecodeCache:
             )
             hit = self.data[key] = (doc, base)
         return hit
+
+    def dense(self, row: dict, w: float) -> tuple[np.ndarray, np.ndarray]:
+        """(doc - lo as int32, w·base) for the dense-accumulator path,
+        both cached (offsets per term, scaled contributions per
+        (term, weight) — at most 4 distinct weights cached per term as
+        a memory backstop; further weights multiply inline)."""
+        key = self._key(row)
+        skey = (key, w)
+        hit = self._scaled.get(skey)
+        if hit is not None:
+            return hit
+        doc, base = self(row)
+        di = self._off.get(key)
+        if di is None:
+            di = self._off[key] = (
+                (doc - self.lo).astype(np.int32) if doc.size else _EMPTY_I32
+            )
+        contrib = w * base if doc.size else _EMPTY_F64
+        n = self._nscaled.get(key, 0)
+        if n < 4:
+            self._scaled[skey] = (di, contrib)
+            self._nscaled[key] = n + 1
+        return di, contrib
 
 
 # Block-max MaxScore pruning pays off while the top-k threshold is
@@ -341,10 +375,9 @@ def score_range(
                 acc = np.zeros(hi - lo, dtype=np.float64)
                 mask = np.zeros(hi - lo, dtype=bool)
             for row, w in zip(rows, ws):
-                d, base = decoded(row)
-                if d.size:
-                    di = d - lo
-                    acc[di] += w * base
+                di, contrib = decoded.dense(row, w)
+                if di.size:
+                    acc[di] += contrib
                     mask[di] = True
             mi = np.flatnonzero(mask)
             matched = mi + lo

@@ -210,8 +210,12 @@ def decode_segment(
 
     gaps = varint_decode(_slice(row["doc_ids"], "blk_off_doc"))
     doc = _blockwise_docs(gaps, block_size)
-    tf = varint_decode(_slice(row["tfs"], "blk_off_tf")).astype(np.int64)
-    dl = varint_decode(_slice(row["dls"], "blk_off_dl")).astype(np.int64)
+    # zero-copy int64 reinterpret of varint_decode's uint64 (values are
+    # tiny): an astype here was a pure extra copy on the query hot
+    # path, while keeping int64 preserves numpy's fast int64→float64
+    # SIMD conversion inside tf_shape (uint64→float64 is the slow loop)
+    tf = varint_decode(_slice(row["tfs"], "blk_off_tf")).view(np.int64)
+    dl = varint_decode(_slice(row["dls"], "blk_off_dl")).view(np.int64)
     if lo is not None:
         a, b = np.searchsorted(doc, [lo, hi])
         doc, tf, dl = doc[a:b], tf[a:b], dl[a:b]
@@ -244,8 +248,8 @@ def decode_selected_blocks(
 
     gaps = varint_decode(gather(row["doc_ids"], "blk_off_doc"))
     doc = _blockwise_docs(gaps, block_size)
-    tf = varint_decode(gather(row["tfs"], "blk_off_tf")).astype(np.int64)
-    dl = varint_decode(gather(row["dls"], "blk_off_dl")).astype(np.int64)
+    tf = varint_decode(gather(row["tfs"], "blk_off_tf")).view(np.int64)
+    dl = varint_decode(gather(row["dls"], "blk_off_dl")).view(np.int64)
     return doc, tf, dl
 
 

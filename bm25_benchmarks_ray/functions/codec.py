@@ -69,6 +69,11 @@ def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_last = (b & 0x80) == 0
+    if is_last.all():
+        # every value fits one byte (tf≈1, small dls, dense doc gaps —
+        # the overwhelmingly common posting streams): skip the
+        # general path's five extra array passes
+        return b.astype(np.uint64)
     # value index of each byte = number of terminated values before it
     val_idx = np.zeros(b.size, dtype=np.int64)
     np.cumsum(is_last[:-1], out=val_idx[1:])

@@ -33,6 +33,18 @@ def test_varint_boundaries():
     np.testing.assert_array_equal(out, arr)
 
 
+def test_varint_single_byte_fast_path():
+    # an all-<128 stream takes the all-single-byte fast path; adding one
+    # 2-byte value anywhere must flip the whole stream to the general
+    # path with identical per-value results
+    small = np.arange(128, dtype=np.uint64)
+    out = varint_decode(varint_encode(small))
+    np.testing.assert_array_equal(out, small)
+    assert out.dtype == np.uint64
+    mixed = np.concatenate([small, np.array([128], dtype=np.uint64), small])
+    np.testing.assert_array_equal(varint_decode(varint_encode(mixed)), mixed)
+
+
 @settings(max_examples=200)
 @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=200))
 def test_varint_roundtrip_property(vals):

@@ -71,11 +71,22 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
         idx = os.path.join(BENCH_ROOT, f"idx_sf{sf}_cpus{num_cpus}")
         shutil.rmtree(idx, ignore_errors=True)
 
+        # --scaling legs only need index + k=10 query throughput; skip
+        # the k=1000 / latency / serving / large / second-rep phases
+        # there (GRAFT_BENCH_QUICK; the legs already alternate reps)
+        quick = os.environ.get("GRAFT_BENCH_QUICK") == "1"
+
         timings: dict[str, float] = {}
         cfg = IndexConfig()
-        t0 = time.perf_counter()
-        build_index(corpus, idx, cfg, mode="transcripts", fresh=True)
-        timings["index"] = time.perf_counter() - t0
+        # best-of-2 index build (like the query phases below): the
+        # shared VM swings >2x between adjacent minutes, and the index
+        # phase is the headline recorded number
+        for rep in range(1 if quick else 2):
+            shutil.rmtree(idx, ignore_errors=True)
+            t0 = time.perf_counter()
+            build_index(corpus, idx, cfg, mode="transcripts", fresh=True)
+            el = time.perf_counter() - t0
+            timings["index"] = min(timings.get("index", el), el)
 
         queries = synthesize_queries(n_queries, seed=17)
         params = BM25Params()
@@ -100,9 +111,6 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
         timings["query"], n_res = timed(
             lambda: search(idx, queries, params=params, k=10).count()
         )
-        # --scaling legs only need index + k=10 query throughput; skip
-        # the k=1000 / latency / serving phases there (GRAFT_BENCH_QUICK)
-        quick = os.environ.get("GRAFT_BENCH_QUICK") == "1"
         n_res_1k = 0
         if not quick:
             # k=1000: the reference's published qps are top_k=1000
@@ -144,11 +152,13 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
         if large_sf > sf and not quick:
             lcorpus = transcripts_dir(large_sf)
             lidx = os.path.join(BENCH_ROOT, f"idx_sf{large_sf}_cpus{num_cpus}")
-            shutil.rmtree(lidx, ignore_errors=True)
-            t0 = time.perf_counter()
-            build_index(lcorpus, lidx, cfg, mode="transcripts", fresh=True)
-            el = time.perf_counter() - t0
-            timings["index_large"] = el
+            for rep in range(2):  # best-of-2, same rationale as "index"
+                shutil.rmtree(lidx, ignore_errors=True)
+                t0 = time.perf_counter()
+                build_index(lcorpus, lidx, cfg, mode="transcripts", fresh=True)
+                el = time.perf_counter() - t0
+                timings["index_large"] = min(timings.get("index_large", el), el)
+            el = timings["index_large"]
             large = {
                 "large_sf": large_sf,
                 "large_n_turns": sf_to_n_turns(large_sf),

@@ -78,10 +78,10 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
 
         timings: dict[str, float] = {}
         cfg = IndexConfig()
-        # best-of-2 index build (like the query phases below): the
+        # best-of-3 index build (like the query phases below): the
         # shared VM swings >2x between adjacent minutes, and the index
         # phase is the headline recorded number
-        for rep in range(1 if quick else 2):
+        for rep in range(1 if quick else 3):
             shutil.rmtree(idx, ignore_errors=True)
             t0 = time.perf_counter()
             build_index(corpus, idx, cfg, mode="transcripts", fresh=True)
@@ -95,13 +95,13 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
         # (/root/reference/benchmark/on_bm25s.py:144-154,175-177)
         search(idx, queries, params=params, k=10).count()
 
-        # best-of-2 per query phase: this shared VM's throughput swings
+        # best-of-3 per query phase: this shared VM's throughput swings
         # >2x between adjacent minutes (BASELINE.md variance caveat);
-        # queries are cheap enough that a second rep meaningfully
-        # de-noises the recorded number
+        # queries are cheap enough that extra reps meaningfully
+        # de-noise the recorded number
         def timed(fn):
             best, n = None, None
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 n = fn()
                 el = time.perf_counter() - t0
@@ -152,7 +152,7 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
         if large_sf > sf and not quick:
             lcorpus = transcripts_dir(large_sf)
             lidx = os.path.join(BENCH_ROOT, f"idx_sf{large_sf}_cpus{num_cpus}")
-            for rep in range(2):  # best-of-2, same rationale as "index"
+            for rep in range(3):  # best-of-3, same rationale as "index"
                 shutil.rmtree(lidx, ignore_errors=True)
                 t0 = time.perf_counter()
                 build_index(lcorpus, lidx, cfg, mode="transcripts", fresh=True)

@@ -74,15 +74,16 @@ def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
         # the overwhelmingly common posting streams): skip the
         # general path's five extra array passes
         return b.astype(np.uint64)
-    # value index of each byte = number of terminated values before it
-    val_idx = np.zeros(b.size, dtype=np.int64)
-    np.cumsum(is_last[:-1], out=val_idx[1:])
-    n_vals = int(val_idx[-1]) + 1
-    # byte position within its value
-    starts_of_vals = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
-    pos = np.arange(b.size, dtype=np.int64) - starts_of_vals[val_idx]
-    out = np.zeros(n_vals, dtype=np.uint64)
-    np.add.at(out, val_idx, (b & np.uint8(0x7F)).astype(np.uint64) << (7 * pos).astype(np.uint64))
+    # one fancy-indexed pass per byte POSITION over the (shrinking) set
+    # of values that long — mirrors the encoder's shape and avoids
+    # np.add.at over every byte (the scatter-add was ~10x slower than
+    # these gather passes on 2-byte-heavy dl streams)
+    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
+    nb = np.diff(starts, append=np.int64(b.size))  # bytes per value
+    out = (b[starts] & np.uint8(0x7F)).astype(np.uint64)
+    for j in range(1, int(nb.max())):
+        m = nb > j
+        out[m] |= (b[starts[m] + j] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(7 * j)
     return out
 
 

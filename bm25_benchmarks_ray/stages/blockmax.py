@@ -55,9 +55,10 @@ def decode_candidate_blocks(
     if doc0.size == 0 or cand.size == 0:
         e = np.empty(0, dtype=np.int64)
         return e, e, e
-    blocks = np.unique(
-        np.clip(np.searchsorted(doc0, cand, side="right") - 1, 0, doc0.size - 1)
-    )
+    b = np.clip(np.searchsorted(doc0, cand, side="right") - 1, 0, doc0.size - 1)
+    # cand is sorted, so b is non-decreasing: dedupe by adjacent-diff
+    # instead of np.unique's full sort
+    blocks = b[:1] if b.size <= 1 else b[np.concatenate(([True], b[1:] != b[:-1]))]
     doc, tf, dl = decode_selected_blocks(row, block_size, blocks)
     # both sides sorted: searchsorted membership
     idx = np.searchsorted(cand, doc)
@@ -172,11 +173,36 @@ def _accumulate(
     doc: np.ndarray,
     contrib: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Merge sorted candidate arrays with a term's (doc, contrib)."""
+    """Merge sorted candidate arrays with a term's (doc, contrib).
+
+    Both sides are sorted and internally duplicate-free (candidates by
+    construction, a term's postings by doc id), so this is a linear
+    two-way merge: scatter-add contributions for docs already in the
+    candidate set, then splice the new docs in at their searchsorted
+    insertion points — no np.unique (whose return_inverse argsorts the
+    whole concatenation per term, the old hot spot).  ``cand_score`` is
+    always a privately-owned array here (bincount/copy/boolean-mask
+    outputs), so the in-place += is safe."""
     if cand_doc.size == 0:
         return doc.copy(), contrib.astype(np.float64, copy=True)
-    all_doc = np.concatenate([cand_doc, doc])
-    all_val = np.concatenate([cand_score, contrib])
-    uniq, inv = np.unique(all_doc, return_inverse=True)
-    sums = np.bincount(inv, weights=all_val)
-    return uniq, sums
+    ins = np.searchsorted(cand_doc, doc)
+    ic = np.minimum(ins, cand_doc.size - 1)
+    hit = cand_doc[ic] == doc
+    # doc ids are unique within a term → hit indices are unique → exact
+    cand_score[ic[hit]] += contrib[hit]
+    if hit.all():
+        return cand_doc, cand_score
+    new_doc = doc[~hit]
+    new_val = contrib[~hit]
+    total = cand_doc.size + new_doc.size
+    # final positions of the new docs = insertion point + rank among new
+    pos_new = ins[~hit] + np.arange(new_doc.size, dtype=np.int64)
+    out_doc = np.empty(total, dtype=cand_doc.dtype)
+    out_val = np.empty(total, dtype=np.float64)
+    mask = np.zeros(total, dtype=bool)
+    mask[pos_new] = True
+    out_doc[mask] = new_doc
+    out_val[mask] = new_val
+    out_doc[~mask] = cand_doc
+    out_val[~mask] = cand_score
+    return out_doc, out_val

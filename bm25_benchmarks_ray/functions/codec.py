@@ -78,8 +78,14 @@ def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
     # of values that long — mirrors the encoder's shape and avoids
     # np.add.at over every byte (the scatter-add was ~10x slower than
     # these gather passes on 2-byte-heavy dl streams)
-    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
-    nb = np.diff(starts, append=np.int64(b.size))  # bytes per value
+    inner = np.flatnonzero(is_last[:-1]) + 1  # value starts after byte 0
+    n = inner.size + 1
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = inner
+    nb = np.empty(n, dtype=np.int64)  # bytes per value
+    np.subtract(starts[1:], starts[:-1], out=nb[:-1])
+    nb[-1] = b.size - starts[-1]
     out = (b[starts] & np.uint8(0x7F)).astype(np.uint64)
     for j in range(1, int(nb.max())):
         m = nb > j

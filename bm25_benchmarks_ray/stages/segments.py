@@ -237,14 +237,28 @@ def decode_selected_blocks(
     if nb == 0 or blocks.size == 0:
         return _EMPTY3
 
+    # selected blocks are often consecutive (candidates cluster):
+    # coalesce adjacent block ids into runs once, shared by all three
+    # streams, then gather each stream's run byte-ranges in ONE
+    # fancy-index pass (no Python per-block slice loop)
+    run_start = np.concatenate(([True], blocks[1:] != blocks[:-1] + 1))
+    r0 = blocks[run_start]                                    # first block of run
+    r1 = blocks[np.concatenate((run_start[1:], [True]))] + 1  # one past last
+
     def gather(buf: bytes, off_key: str) -> np.ndarray:
         off = np.frombuffer(row[off_key], dtype=np.uint32)
         b = np.frombuffer(buf, dtype=np.uint8)
-        starts = off[blocks].astype(np.int64)
-        ends = np.where(
-            blocks + 1 < nb, off[np.minimum(blocks + 1, nb - 1)], len(b)
-        ).astype(np.int64)
-        return np.concatenate([b[s:e] for s, e in zip(starts, ends)])
+        starts = off[r0].astype(np.int64)
+        ends = np.where(r1 < nb, off[np.minimum(r1, nb - 1)], len(b)).astype(
+            np.int64
+        )
+        lens = ends - starts
+        if lens.size == 1:
+            return b[starts[0]:ends[0]]
+        total = int(lens.sum())
+        first = starts - np.concatenate(([0], np.cumsum(lens)[:-1]))
+        idx = np.repeat(first, lens) + np.arange(total, dtype=np.int64)
+        return b[idx]
 
     gaps = varint_decode(gather(row["doc_ids"], "blk_off_doc"))
     doc = _blockwise_docs(gaps, block_size)

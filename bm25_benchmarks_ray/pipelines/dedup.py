@@ -181,14 +181,18 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
     shuffle so the groupby moves one row per distinct text per block."""
 
     def combine(batch: pa.Table) -> pa.Table:
+        # int64 VIEW of the u64 hash (bijective): Ray's aggregate-output
+        # block builder round-trips key values through Python ints, and
+        # uint64 > 2^63 overflows C long there → silent pickle-fallback
+        # blocks in the shuffle.  Grouping only needs distinctness.
         df = pd.DataFrame(
             {
-                "h": fast_hash_u64(batch.column(text_col).to_pylist()),
+                "h": fast_hash_u64(batch.column(text_col).to_pylist()).view(np.int64),
                 id_col: batch.column(id_col).to_numpy(),
             }
         )
         g = df.groupby("h", sort=False)[id_col].min().reset_index()
-        return pa.table({"h": pa.array(g["h"], type=pa.uint64()),
+        return pa.table({"h": pa.array(g["h"], type=pa.int64()),
                          id_col: pa.array(g[id_col], type=pa.int64())})
 
     return (
@@ -207,7 +211,9 @@ def _shingle_rows(batch: pa.Table, n: int) -> pa.Table:
     return pa.table(
         {
             "doc_id": pa.array(doc_ids[dd], type=pa.int64()),
-            "sh": pa.array(hh, type=pa.uint64()),
+            # int64 view (bijective) — uint64 keys > 2^63 break Ray's
+            # Python-int round-trips in sort sampling / aggregate builds
+            "sh": pa.array(hh.view(np.int64), type=pa.int64()),
             "n_sh": pa.array(n_sh[dd], type=pa.int64()),
         }
     )
@@ -432,7 +438,7 @@ def minhash_lsh_pairs(
         doc = batch.column("doc_id").to_numpy()
         if sigs.size == 0:
             return pa.table({"band": pa.array([], type=pa.int32()),
-                             "bucket": pa.array([], type=pa.uint64()),
+                             "bucket": pa.array([], type=pa.int64()),
                              "doc_id": pa.array([], type=pa.int64())})
         out_band = np.repeat(np.arange(bands, dtype=np.int32), doc.size)
         out_doc = np.tile(doc, bands)
@@ -447,7 +453,8 @@ def minhash_lsh_pairs(
         return pa.table(
             {
                 "band": pa.array(out_band),
-                "bucket": pa.array(buckets),
+                # int64 view (bijective): see _shingle_rows
+                "bucket": pa.array(buckets.view(np.int64), type=pa.int64()),
                 "doc_id": pa.array(out_doc, type=pa.int64()),
             }
         )

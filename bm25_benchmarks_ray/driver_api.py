@@ -305,6 +305,12 @@ def q_embed_lsh_pairs(sf_dir: str, threshold: float = 0.4):
 
 
 def q_embed_ivf_topk(sf_dir: str):
+    """IVF top-k at FULL probe (nprobe == n_centroids): probing every
+    bucket partition makes the composite (assign-once bucketed build →
+    probed-partition reads → per-bucket scoring → merge) provably
+    exact, so this entry value-hash-matches the brute-force cosine SQL
+    oracle.  The approximate regime (nprobe < n_centroids) keeps its
+    recall + pruned-read checks in tests/test_similarity.py."""
     import ray.data as rd
 
     from .pipelines.similarity import ivf_topk
@@ -313,7 +319,8 @@ def q_embed_ivf_topk(sf_dir: str):
     ds = rd.read_parquet(p, columns=["vec_id", "embedding"])
     key = hashlib.sha256(f"ivf|{p}|{os.path.getmtime(p)}".encode()).hexdigest()[:16]
     return ivf_topk(
-        ds, _query_vecs(sf_dir), k=10, index_dir=os.path.join(CACHE_ROOT, key)
+        ds, _query_vecs(sf_dir), k=10, n_centroids=16, nprobe=16,
+        index_dir=os.path.join(CACHE_ROOT, key),
     )
 
 
@@ -742,9 +749,11 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_lsh_pairs": NGRAM_JACCARD_SQL,
     "simhash_pairs": SIMHASH_SQL,
     "winnow_fingerprint": WINNOW_SQL,
-    # embed_ivf_topk: approximate by design (nprobe < n_centroids drops
-    # true neighbors deliberately) — rows-only; pytest checks recall
-    # against the exact brute-force path instead.
+    # embed_ivf_topk runs at FULL probe (nprobe == n_centroids), which
+    # is provably exact — the brute-force cosine SQL is its oracle.
+    # The approximate regime (nprobe < n_centroids) is covered by
+    # recall + pruned-partition-read tests in tests/test_similarity.py.
+    "embed_ivf_topk": EMBED_TOPK_SQL,
 }
 
 

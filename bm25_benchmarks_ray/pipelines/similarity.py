@@ -216,15 +216,18 @@ def ivf_search(
     import os
 
     cents = np.load(os.path.join(index_dir, IVF_CENTROIDS))
-    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
-    probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    q = np.asarray(query_vecs, dtype=np.float64)
+    qn = _normalize(q)
+    probes = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     probed = sorted(set(int(b) for b in probes.ravel()))
     ds = ivf_probed_dataset(index_dir, probed)
     q_ref = ray.put((q, probes))
 
     def partial(batch: pa.Table) -> pa.Table:
         qm, pr = ray.get(q_ref)
-        m = _normalize(_batch_matrix(batch, vec_col))
+        m = _batch_matrix(batch, vec_col)
+        mnorm = _row_norms(m)
+        qnorm = _row_norms(qm)
         ids = batch.column(id_col).to_numpy()
         bucket = batch.column("bkt").to_numpy()
         out_qi, out_id, out_s = [], [], []
@@ -232,7 +235,10 @@ def ivf_search(
             mask = np.isin(bucket, pr[qi])
             if not mask.any():
                 continue
-            s = m[mask] @ qm[qi]
+            # same dot/(|m|·|q|) float64 association as cosine_topk, so
+            # a full probe (nprobe == n_centroids) is bit-identical to
+            # the exact brute-force path / DuckDB oracle
+            s = (m[mask] @ qm[qi]) / (mnorm[mask] * qnorm[qi])
             sub_ids = ids[mask]
             rows = min(k, sub_ids.size)
             part = (

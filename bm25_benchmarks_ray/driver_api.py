@@ -324,6 +324,57 @@ def q_embed_ivf_topk(sf_dir: str):
     )
 
 
+def q_events_sessionize(sf_dir: str):
+    import ray.data as rd
+
+    from .pipelines.windows import sessionize
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return sessionize(ds, gap_s=1800)
+
+
+def q_events_tumbling_window(sf_dir: str):
+    import ray.data as rd
+
+    from .pipelines.windows import tumbling_window
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+    return tumbling_window(ds, width_s=3600)
+
+
+def q_events_asof_join(sf_dir: str):
+    import ray.data as rd
+
+    from .pipelines.windows import asof_join
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return asof_join(ds, "purchase", "click")
+
+
+# per-language keep rates for the stratified-sample driver entry
+SAMPLE_RATES = {"en": 0.2, "zh": 0.5, "es": 0.35, "de": 0.8, "fr": 1.0}
+
+
+def q_docs_stratified_sample(sf_dir: str):
+    import ray.data as rd
+
+    from .pipelines.sampling import stratified_sample
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    return stratified_sample(ds, SAMPLE_RATES, seed=7)
+
+
 def q_lang_id(sf_dir: str):
     from .pipelines.text_analysis import language_id
 
@@ -716,6 +767,69 @@ DOC_TEXT_PROJECTION_SQL = (
     "SELECT doc_id, source || ' ' || text AS full_text FROM documents"
 )
 
+# session windows: 30-min gap splits, 0-based session_idx per user in
+# (ts, event_id) order — replicates pipelines.windows.sessionize
+SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS tsu, event_id, value,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+m AS (
+  SELECT user_id, tsu, event_id, value,
+         CASE WHEN prev IS NULL OR tsu - prev > 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+s AS (
+  SELECT user_id, tsu, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM m
+)
+SELECT user_id, session_idx, min(tsu) AS start_us, max(tsu) AS end_us,
+       count(*) AS n_events, sum(value) AS sum_value
+FROM s GROUP BY user_id, session_idx
+"""
+
+TUMBLING_SQL = """
+SELECT event_type,
+       (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY event_type, window_start_us
+"""
+
+# as-of join: latest 'click' at or before each 'purchase' per user;
+# right side deduplicated to max event_id per (user, ts) so ties are
+# deterministic — replicates pipelines.windows.asof_join
+ASOF_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+),
+r0 AS (
+  SELECT user_id, ts, max(event_id) AS event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.ts_us,
+       r.event_id AS matched_event_id, epoch_us(r.ts) AS matched_ts_us
+FROM l ASOF LEFT JOIN r0 r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+# stratified sample: md5_u64(seed=7 || doc_id) % 1e6 under the
+# per-language threshold — replicates pipelines.sampling (rates must
+# stay in sync with driver_api.SAMPLE_RATES)
+STRAT_SAMPLE_SQL = f"""
+WITH h0 AS (
+  SELECT doc_id, lang,
+         md5('7' || chr(0) || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+)
+SELECT doc_id, lang FROM h0
+WHERE ({_MD5U64_SQL}) % 1000000 < CASE lang
+  WHEN 'en' THEN 200000 WHEN 'zh' THEN 500000 WHEN 'es' THEN 350000
+  WHEN 'de' THEN 800000 WHEN 'fr' THEN 1000000 ELSE 0 END
+"""
+
 ORACLE_SQL: dict[str, str] = {
     "tokenize_tf": f"WITH {TOKENS_CTE} SELECT doc_id, term, tf FROM tf",
     "doc_lengths": f"WITH {TOKENS_CTE} SELECT doc_id, dl FROM dl",
@@ -754,6 +868,10 @@ ORACLE_SQL: dict[str, str] = {
     # The approximate regime (nprobe < n_centroids) is covered by
     # recall + pruned-partition-read tests in tests/test_similarity.py.
     "embed_ivf_topk": EMBED_TOPK_SQL,
+    "events_sessionize": SESSIONIZE_SQL,
+    "events_tumbling_window": TUMBLING_SQL,
+    "events_asof_join": ASOF_SQL,
+    "docs_stratified_sample": STRAT_SAMPLE_SQL,
 }
 
 
@@ -791,6 +909,10 @@ def build_queries() -> dict:
             "winnow_fingerprint": q_winnow_fingerprint,
             "corpus_union": q_corpus_union,
             "doc_text_projection": q_doc_text_projection,
+            "events_sessionize": q_events_sessionize,
+            "events_tumbling_window": q_events_tumbling_window,
+            "events_asof_join": q_events_asof_join,
+            "docs_stratified_sample": q_docs_stratified_sample,
         }
     )
     return q

@@ -375,6 +375,31 @@ def q_docs_stratified_sample(sf_dir: str):
     return stratified_sample(ds, SAMPLE_RATES, seed=7)
 
 
+def q_docs_pack_offsets(sf_dir: str):
+    """bucket_size=64 so even sf0.01's 500 docs exercise the multi-
+    bucket distributed prefix-sum path (8 buckets), not a single-group
+    degenerate case."""
+    import ray.data as rd
+
+    from .pipelines.packing import pack_offsets
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return pack_offsets(ds, capacity=2048, bucket_size=64)
+
+
+def q_docs_curate(sf_dir: str):
+    import ray.data as rd
+
+    from .pipelines.curate import curate
+
+    ds = rd.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "text", "source"]
+    )
+    return curate(ds)
+
+
 def q_lang_id(sf_dir: str):
     from .pipelines.text_analysis import language_id
 
@@ -830,6 +855,69 @@ WHERE ({_MD5U64_SQL}) % 1000000 < CASE lang
   WHEN 'de' THEN 800000 WHEN 'fr' THEN 1000000 ELSE 0 END
 """
 
+# sequence packing: doc_id-ordered token cumsum, 2048-token bins —
+# replicates pipelines.packing.pack_offsets (whitespace token counts)
+PACK_SQL = r"""
+WITH c AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+)
+SELECT doc_id, n_tok,
+       (cum - n_tok)::BIGINT AS start_tok, cum::BIGINT AS end_tok,
+       ((cum - n_tok) // 2048)::BIGINT AS first_bin,
+       (CASE WHEN n_tok = 0 THEN (cum - n_tok) // 2048
+             ELSE (cum - 1) // 2048 END)::BIGINT AS last_bin
+FROM p
+"""
+
+# curation composite: quality >= 0.5 AND stopword-ratio-English ->
+# exact dedup (min doc_id per distinct text) -> per-source sample
+# (even-numbered sources keep 100%, odd 30%; md5_u64(seed=7||doc_id))
+CURATE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         len(regexp_extract_all(lower(text), '\\w\\w+'))::BIGINT AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
+              ELSE 0.0 END AS punct,
+         regexp_extract_all(lower(text), '\\w\\w+') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, source, text,
+         round(0.5 * least(n_tokens / 20.0, 1.0)
+             + 0.3 * greatest(1.0 - 5.0 * punct, 0.0)
+             + 0.2 * least(10.0 * (CASE WHEN len(toks) > 0
+                   THEN len(list_filter(toks, t -> t IN ({{sw}}))) * 1.0 / len(toks)
+                   ELSE 0.0 END), 1.0), 6) AS quality,
+         round(CASE WHEN len(toks) > 0
+               THEN len(list_filter(toks, t -> t IN ({{sw}}))) * 1.0 / len(toks)
+               ELSE 0.0 END, 6) AS swr
+  FROM base
+),
+kept AS (
+  SELECT * FROM feat WHERE quality >= 0.5 AND swr >= 0.08
+),
+surv AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY text
+),
+hh AS (
+  SELECT k.doc_id, k.source, k.quality,
+         md5('7' || chr(0) || CAST(k.doc_id AS VARCHAR)) AS h
+  FROM kept k JOIN surv s ON k.doc_id = s.doc_id
+)
+SELECT doc_id, source, quality FROM hh
+WHERE ({_MD5U64_SQL}) % 1000000 <
+      CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+           THEN 1000000 ELSE 300000 END
+"""
+CURATE_SQL = CURATE_SQL.replace("{sw}", _STOPWORDS_SQL)
+
 ORACLE_SQL: dict[str, str] = {
     "tokenize_tf": f"WITH {TOKENS_CTE} SELECT doc_id, term, tf FROM tf",
     "doc_lengths": f"WITH {TOKENS_CTE} SELECT doc_id, dl FROM dl",
@@ -872,6 +960,8 @@ ORACLE_SQL: dict[str, str] = {
     "events_tumbling_window": TUMBLING_SQL,
     "events_asof_join": ASOF_SQL,
     "docs_stratified_sample": STRAT_SAMPLE_SQL,
+    "docs_pack_offsets": PACK_SQL,
+    "docs_curate": CURATE_SQL,
 }
 
 
@@ -913,6 +1003,8 @@ def build_queries() -> dict:
             "events_tumbling_window": q_events_tumbling_window,
             "events_asof_join": q_events_asof_join,
             "docs_stratified_sample": q_docs_stratified_sample,
+            "docs_pack_offsets": q_docs_pack_offsets,
+            "docs_curate": q_docs_curate,
         }
     )
     return q

@@ -1,0 +1,108 @@
+"""End-to-end curation composite: the flagship "make a training corpus"
+pipeline that chains the engine's curation operators the way a real
+100-TB run would —
+
+    quality filter + language filter     (ONE fused text pass)
+    -> exact dedup                       (the only shuffle)
+    -> deterministic stratified sample   (hash filter, no shuffle)
+
+The fusion matters at scale: quality scoring, language ID, the dedup
+content hash, and the sample decision are all per-row functions of the
+same text/id, so they are computed in a single ``map_batches`` pass
+(one read of each document) instead of four.  Only survivor selection
+(groupby on the content hash) moves data.  Every stage reuses the
+per-operator semantics that already have DuckDB replicas, so the whole
+composite is value-hash-checkable end to end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.tokenizer import STOPWORDS_EN, TOKEN_RE
+from .dedup import fast_hash_u64, md5_u64
+from .sampling import MOD
+from .text_analysis import PUNCT_RE
+
+
+def _source_threshold(sources, rate_even: float, rate_odd: float) -> np.ndarray:
+    """Per-row sample threshold: even-numbered sources (src0, src2, …)
+    keep at rate_even, odd at rate_odd."""
+    out = np.empty(len(sources), dtype=np.uint64)
+    te, to = int(round(rate_even * MOD)), int(round(rate_odd * MOD))
+    for i, s in enumerate(sources):
+        try:
+            num = int(s[3:])
+        except (ValueError, TypeError):
+            num = 1
+        out[i] = te if num % 2 == 0 else to
+    return out
+
+
+def curate(
+    ds: rd.Dataset,
+    quality_min: float = 0.5,
+    lang_threshold: float = 0.08,
+    rate_even: float = 1.0,
+    rate_odd: float = 0.3,
+    seed: int = 7,
+) -> rd.Dataset:
+    """Curated corpus: docs with quality >= ``quality_min`` whose
+    stopword ratio marks them English, exact-deduplicated (min doc_id
+    survives per distinct text), then stratified-sampled per source.
+    Returns (doc_id, source, quality)."""
+
+    def fused(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = batch.num_rows
+        n_tok = np.zeros(n, dtype=np.int64)
+        punct = np.zeros(n, dtype=np.float64)
+        swr = np.zeros(n, dtype=np.float64)
+        for i, text in enumerate(texts):
+            toks = TOKEN_RE.findall(text.lower())
+            n_tok[i] = len(toks)
+            if len(text):
+                punct[i] = len(PUNCT_RE.findall(text)) / len(text)
+            if toks:
+                swr[i] = sum(1 for t in toks if t in STOPWORDS_EN) / len(toks)
+        quality = np.round(
+            0.5 * np.clip(n_tok / 20.0, 0.0, 1.0)
+            + 0.3 * np.clip(1.0 - 5.0 * punct, 0.0, 1.0)
+            + 0.2 * np.clip(10 * swr, 0, 1),
+            6,
+        )
+        keep = (quality >= quality_min) & (np.round(swr, 6) >= lang_threshold)
+        ids = batch.column("doc_id").to_numpy()
+        sources = batch.column("source").to_pylist()
+        # sample decision computed here (one text pass) but APPLIED
+        # after dedup, on the surviving row's own bit
+        thr = _source_threshold(sources, rate_even, rate_odd)
+        samp = (md5_u64([str(i) for i in ids], seed) % np.uint64(MOD)) < thr
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "source": pa.array(sources, type=pa.string()),
+                "quality": pa.array(quality, type=pa.float64()),
+                "h": pa.array(fast_hash_u64(texts).view(np.int64), type=pa.int64()),
+                "samp": pa.array(samp),
+            }
+        )
+        return tbl.filter(pa.array(keep))
+
+    def survivor(g: pd.DataFrame) -> pd.DataFrame:
+        i = int(g["doc_id"].to_numpy().argmin())
+        return g.iloc[[i]]
+
+    return (
+        ds.select_columns(["doc_id", "text", "source"])
+        .map_batches(fused, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(survivor, batch_format="pandas")
+        .map_batches(
+            lambda b: b.filter(b.column("samp")).drop_columns(["h", "samp"]),
+            batch_format="pyarrow",
+        )
+    )

@@ -120,6 +120,13 @@ def cmd_index(args) -> int:
             os.path.join(staged, DOCMAP_FILE),
             os.path.join(args.index, DOCMAP_FILE),
         )
+    elif getattr(args, "append", False):
+        from .pipelines.index_build import append_index
+
+        if mode != "documents":
+            raise SystemExit("--append requires --mode documents "
+                             "(transcripts ids are global ranks)")
+        man = append_index(source, args.index, cfg)
     else:
         man = build_index(source, args.index, cfg, mode=mode, fresh=args.fresh)
     print(json.dumps({"index": args.index, "stats": man.stats,
@@ -265,6 +272,9 @@ def main(argv=None) -> int:
     p.add_argument("--mode", default="transcripts",
                    choices=["transcripts", "documents", "beir"])
     p.add_argument("--fresh", action="store_true")
+    p.add_argument("--append", action="store_true",
+                   help="add --input as new segment groups to an existing "
+                        "documents-mode index (Lucene-style segment append)")
     _common_index_args(p)
     p.set_defaults(fn=cmd_index)
 

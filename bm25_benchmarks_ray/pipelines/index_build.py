@@ -461,51 +461,143 @@ def build_index(
 
     # -- stage: finalize (global vocab/df + corpus stats) -------------
     t_fin = time.perf_counter()
-    if not man.stage_done("finalize"):
-        seg_root = os.path.join(index_dir, SEGMENTS_DIR)
-        n_seg_rows = sum(e.get("n_terms", 0) for e in man.groups.values())
-        v_tmp = os.path.join(index_dir, VOCAB_DIR + ".tmp")
-        if os.path.exists(v_tmp):
-            shutil.rmtree(v_tmp)
-        if n_seg_rows <= DRIVER_SIDE_ROWS:
-            # driver-side: segment (term, df) rows are one per term per
-            # group — tiny relative to the corpus
-            t = pads.dataset(seg_root).to_table(columns=["term", "df"])
-            v = (
-                t.to_pandas().groupby("term", sort=True)["df"].sum().reset_index()
-            )
-            os.makedirs(v_tmp, exist_ok=True)
-            pq.write_table(
-                pa.Table.from_pandas(v, preserve_index=False),
-                os.path.join(v_tmp, "vocab-0.parquet"),
-            )
-        else:
-            seg_ds = rd.read_parquet(seg_root, columns=["term", "df"])
-            vocab = (
-                seg_ds.groupby("term").aggregate(Sum("df", alias_name="df")).sort("term")
-            )
-            vocab.write_parquet(v_tmp)
-        v_dir = os.path.join(index_dir, VOCAB_DIR)
-        if os.path.exists(v_dir):
-            shutil.rmtree(v_dir)
-        os.replace(v_tmp, v_dir)
-
-        num_docs = sum(e["n_docs"] for e in man.groups.values())
-        total_len = sum(e["sum_tf"] for e in man.groups.values())
-        # vocab-wide mean robertson idf: the base of BM25Okapi's epsilon
-        # floor, fixed at build time (one narrow df-column scan)
-        from ..functions.bm25 import avg_robertson_idf
-
-        dfs = pads.dataset(v_dir).to_table(columns=["df"]).column("df").to_numpy()
-        man.stats = {
-            "num_docs": int(num_docs),
-            "total_len": int(total_len),
-            "avgdl": (total_len / num_docs) if num_docs else 0.0,
-            "n_terms": int(dfs.size),
-            "avg_robertson_idf": avg_robertson_idf(dfs, int(num_docs)),
-        }
-        man.mark_stage("finalize")
+    _finalize_index(man, index_dir)
     _timing("finalize", t_fin)
+    return man
+
+
+def _finalize_index(man: Manifest, index_dir: str) -> None:
+    """Global vocab/df + corpus stats from the per-group segment rows.
+    Idempotent (no-op when the finalize stage is already marked);
+    shared by the fresh-build and append paths."""
+    if man.stage_done("finalize"):
+        return
+    seg_root = os.path.join(index_dir, SEGMENTS_DIR)
+    n_seg_rows = sum(e.get("n_terms", 0) for e in man.groups.values())
+    v_tmp = os.path.join(index_dir, VOCAB_DIR + ".tmp")
+    if os.path.exists(v_tmp):
+        shutil.rmtree(v_tmp)
+    if n_seg_rows <= DRIVER_SIDE_ROWS:
+        # driver-side: segment (term, df) rows are one per term per
+        # group — tiny relative to the corpus
+        t = pads.dataset(seg_root).to_table(columns=["term", "df"])
+        v = (
+            t.to_pandas().groupby("term", sort=True)["df"].sum().reset_index()
+        )
+        os.makedirs(v_tmp, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(v, preserve_index=False),
+            os.path.join(v_tmp, "vocab-0.parquet"),
+        )
+    else:
+        seg_ds = rd.read_parquet(seg_root, columns=["term", "df"])
+        vocab = (
+            seg_ds.groupby("term").aggregate(Sum("df", alias_name="df")).sort("term")
+        )
+        vocab.write_parquet(v_tmp)
+    v_dir = os.path.join(index_dir, VOCAB_DIR)
+    if os.path.exists(v_dir):
+        shutil.rmtree(v_dir)
+    os.replace(v_tmp, v_dir)
+
+    num_docs = sum(e["n_docs"] for e in man.groups.values())
+    total_len = sum(e["sum_tf"] for e in man.groups.values())
+    # vocab-wide mean robertson idf: the base of BM25Okapi's epsilon
+    # floor, fixed at build time (one narrow df-column scan)
+    from ..functions.bm25 import avg_robertson_idf
+
+    dfs = pads.dataset(v_dir).to_table(columns=["df"]).column("df").to_numpy()
+    man.stats = {
+        "num_docs": int(num_docs),
+        "total_len": int(total_len),
+        "avgdl": (total_len / num_docs) if num_docs else 0.0,
+        "n_terms": int(dfs.size),
+        "avg_robertson_idf": avg_robertson_idf(dfs, int(num_docs)),
+    }
+    man.mark_stage("finalize")
+
+
+def append_index(
+    new_source: str | list[str],
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+) -> Manifest:
+    """Append new document files to a COMPLETE documents-mode index as
+    new segment groups — the Lucene segment-addition analogue.  Existing
+    groups are immutable and untouched; only the new files are read,
+    tokenized, and shuffled, then the cheap finalize stage (per-group
+    (term, df) rows → vocab + stats) re-aggregates across all groups.
+    Query-side readers pick the new groups up from the manifest with no
+    code path change.
+
+    Requirements (validated): the index is complete, was built with the
+    same config fingerprint, the new files are not already part of the
+    index, and the new doc_id range does not overlap any existing
+    group's [doc_lo, doc_hi) — documents mode carries explicit ids, so
+    disjointness is the caller's contract (transcripts mode assigns ids
+    by global rank, where "append" is semantically a rebuild).
+    """
+    cfg = cfg or IndexConfig()
+    man = Manifest.load(index_dir)
+    if man is None or not man.is_complete():
+        raise ValueError(f"append_index requires a complete index at {index_dir!r}")
+    if man.fingerprint != cfg.fingerprint():
+        raise ValueError("config fingerprint differs from the existing index; rebuild")
+    files = _input_files(new_source)
+    if not files:
+        raise ValueError(f"no parquet files at {new_source!r}")
+    rows = _file_rows(files)
+    known = {
+        bn for e in man.groups.values() for bn in e.get("input_files", [])
+    }
+    dup = [f for f in files if os.path.basename(f) in known]
+    if dup:
+        raise ValueError(f"files already in the index: {dup}")
+
+    groups = _plan_groups(files, rows, None, overlap=1)
+    base_gid = 1 + max(int(g) for g in man.groups)
+    old_ranges = [
+        (e["doc_lo"], e["doc_hi"])
+        for e in man.groups.values()
+        if e.get("doc_lo") is not None
+    ]
+    for off, file_idx in enumerate(groups):
+        gid = base_gid + off
+        t0 = time.perf_counter()
+        g_files = [files[i] for i in file_idx]
+        g_rows = sum(rows[i] for i in file_idx)
+        rng = _group_doc_range(g_files, g_rows, "documents", None)
+        for lo, hi in old_ranges:
+            if rng is not None and rng[0] < hi and lo < rng[1]:
+                raise ValueError(
+                    f"new doc_id range {rng} overlaps existing group [{lo}, {hi})"
+                )
+        nblocks = min(_shuffle_partitions(cfg), max(1, g_rows // 1000))
+        ds = rd.read_parquet(
+            g_files, columns=["doc_id", "text"], override_num_blocks=nblocks
+        )
+        g_dir = os.path.join(index_dir, SEGMENTS_DIR, f"group={gid}")
+        _build_group_segments(
+            ds, cfg, g_dir, g_rows > cfg.salt_range * 64, g_rows=g_rows
+        )
+        metrics = _group_metrics(g_dir)
+        man.mark_group(
+            gid,
+            input_files=[os.path.basename(f) for f in g_files],
+            n_docs=g_rows,
+            doc_lo=rng[0] if rng else None,
+            doc_hi=rng[1] if rng else None,
+            two_level=g_rows > cfg.salt_range * 64,
+            wall_s=round(time.perf_counter() - t0, 3),
+            **metrics,
+        )
+    man.n_groups = 1 + max(int(g) for g in man.groups)
+    man.stages.pop("finalize", None)
+    # inventory reflects the grown file set: chain the appended batch's
+    # hash onto the existing identity (per-group lineage stays in groups)
+    man.inventory = f"{man.inventory}+{_inventory_hash(files, rows)}"[:64]
+    man.save()
+    _finalize_index(man, index_dir)
     return man
 
 

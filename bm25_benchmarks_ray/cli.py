@@ -134,6 +134,19 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from .pipelines.index_build import compact_index
+
+    _init_ray(args.num_cpus)
+    gids = (
+        [int(g) for g in args.groups.split(",")] if args.groups else None
+    )
+    man = compact_index(args.index, gids=gids)
+    print(json.dumps({"index": args.index, "groups": len(man.done_groups()),
+                      "stats": man.stats}))
+    return 0
+
+
 def cmd_query(args) -> int:
     from .config import IndexConfig
     from .functions.bm25 import BM25Params
@@ -277,6 +290,12 @@ def main(argv=None) -> int:
                         "documents-mode index (Lucene-style segment append)")
     _common_index_args(p)
     p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("compact")
+    p.add_argument("--index", required=True)
+    p.add_argument("--groups", default=None,
+                   help="comma-separated group ids to merge (default: all)")
+    p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("query")
     p.add_argument("--index", required=True)

@@ -621,3 +621,121 @@ def docmap_from_offsets(offsets: pd.DataFrame, doc_ids: np.ndarray) -> pd.DataFr
             "turn_idx": (doc_ids - base[conv]).astype(np.int32),
         }
     )
+
+
+def compact_index(
+    index_dir: str,
+    gids: list[int] | None = None,
+    cfg: IndexConfig | None = None,
+) -> Manifest:
+    """Merge segment groups into one (Lucene merge-policy analogue):
+    the maintenance pass after many :func:`append_index` calls have
+    accumulated small groups.  Reads ONLY the compressed segment rows
+    (no text, no tokenize), re-sorts them by term id with explicit
+    boundaries, folds each term's per-group rows into one
+    (stages/segments.make_compact_merge), and atomically replaces the
+    source groups with a single merged group.  Vocab/df/corpus stats
+    are sums over groups, so finalize stays valid untouched; query
+    plans shrink from len(gids) groups' term lookups to one.
+    """
+    cfg = cfg or IndexConfig()
+    man = Manifest.load(index_dir)
+    if man is None or not man.is_complete():
+        raise ValueError(f"compact_index requires a complete index at {index_dir!r}")
+    all_gids = man.done_groups()
+    gids = sorted(all_gids if gids is None else gids)
+    if len(gids) < 2:
+        raise ValueError("compaction needs at least two groups")
+    missing = set(gids) - set(all_gids)
+    if missing:
+        raise ValueError(f"groups not in index: {sorted(missing)}")
+    block_size = int(man.config.get("block_size", cfg.block_size))
+
+    from ..stages.segments import SEGMENT_SCHEMA, make_compact_merge
+
+    g_dirs = [os.path.join(index_dir, SEGMENTS_DIR, f"group={g}") for g in gids]
+    # read_parquet expands a single directory path but not a LIST of
+    # directories — glob the segment files explicitly
+    seg_files = sorted(
+        f for d in g_dirs for f in glob.glob(os.path.join(d, "*.parquet"))
+    )
+    ds = rd.read_parquet(seg_files)
+
+    def add_d0(batch: pa.Table) -> pa.Table:
+        col = batch.column("blk_doc0")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d0 = np.fromiter(
+            (
+                int(np.frombuffer(col[i].as_buffer()[:8], dtype=np.int64)[0])
+                if len(col[i].as_buffer()) else -1
+                for i in range(batch.num_rows)
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return batch.append_column("d0", pa.array(d0, type=pa.int64()))
+
+    # width from segment ROWS (one per term per group), floor 2: explicit
+    # tid boundaries guarantee every term's parts land in ONE sorted
+    # partition (= one block, consumed whole via batch_size=None), so
+    # the kernel always sees all parts of a term together.  An empty
+    # boundary list would fall back to Ray's sampled sort, which keeps
+    # per-input-block partitioning and can split a term.
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    n_rows = sum(man.groups[str(g)].get("n_terms", 0) for g in gids)
+    width = max(2, min(4 * cpus, n_rows // 8192))
+    bounds = _tid_boundaries(width)
+    t0 = time.perf_counter()
+    new_gid = gids[0]
+    out_dir = os.path.join(index_dir, SEGMENTS_DIR, f"group={new_gid}.compact")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    merged = (
+        ds.map_batches(add_d0, batch_format="pyarrow")
+        .sort(["tid", "d0"], boundaries=bounds)
+        .map_batches(
+            make_compact_merge(block_size), batch_format="pyarrow", batch_size=None
+        )
+    )
+    merged.write_parquet(out_dir)
+    _timing(f"compact{gids}.merge", t0)
+
+    entries = [man.groups[str(g)] for g in gids]
+    spans = [
+        (e["doc_lo"], e["doc_hi"]) for e in entries if e.get("doc_lo") is not None
+    ]
+    lo = hi = None
+    if len(spans) == len(entries):
+        spans.sort()
+        if all(a[1] == b[0] for a, b in zip(spans, spans[1:])):
+            lo, hi = spans[0][0], spans[-1][1]
+    final_dir = os.path.join(index_dir, SEGMENTS_DIR, f"group={new_gid}")
+    # atomic swap: stash the old group, promote the merged one, then
+    # drop the other sources; a crash in between leaves extra dirs that
+    # the manifest (replaced last) still describes consistently
+    old_dir = final_dir + ".old"
+    if os.path.exists(old_dir):
+        shutil.rmtree(old_dir)
+    os.replace(final_dir, old_dir)
+    os.replace(out_dir, final_dir)
+    shutil.rmtree(old_dir)
+    for g in gids[1:]:
+        shutil.rmtree(os.path.join(index_dir, SEGMENTS_DIR, f"group={g}"))
+        del man.groups[str(g)]
+    man.mark_group(
+        new_gid,
+        input_files=[bn for e in entries for bn in e.get("input_files", [])],
+        n_docs=sum(e["n_docs"] for e in entries),
+        doc_lo=lo,
+        doc_hi=hi,
+        two_level=any(e.get("two_level") for e in entries),
+        wall_s=round(time.perf_counter() - t0, 3),
+        compacted_from=gids,
+        **_group_metrics(final_dir),
+    )
+    man.n_groups = len(man.groups)
+    man.save()
+    return man

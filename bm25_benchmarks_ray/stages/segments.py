@@ -586,3 +586,69 @@ def make_merge_partial(salt_range: int):
         )
 
     return merge_partial
+
+
+def make_compact_merge(block_size: int):
+    """Whole-partition merge kernel for COMPACTION: fold multiple
+    SEGMENT_SCHEMA rows of the same term (one per source group) into a
+    single row by decoding the parts and re-encoding the union.
+
+    Blob concatenation alone would be wrong: every decoder assumes all
+    blocks are full except a row's LAST one, and each part ends with a
+    short block.  Decode+re-encode is still ~an order cheaper than a
+    rebuild — no text read, no tokenize, no raw-postings shuffle; the
+    input is the already-compressed segment rows.  Single-part terms
+    pass through untouched (zero decode).  Input must arrive sorted by
+    (tid, d0) with tid-only partition boundaries (no term straddles a
+    partition); doc order is verified and restored by argsort if source
+    groups interleave doc ranges."""
+
+    def compact_block(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return SEGMENT_SCHEMA.empty_table()
+        cols = {}
+        for name in SEGMENT_SCHEMA.names:
+            arr = tbl.column(name)
+            cols[name] = (
+                arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+            )
+        n = tbl.num_rows
+        tids = cols["tid"].to_numpy()
+        # consecutive-equal runs (input sorted by tid)
+        starts = np.flatnonzero(np.concatenate(([True], tids[1:] != tids[:-1])))
+        ends = np.append(starts[1:], n)
+        single = (ends - starts) == 1
+        pass_idx = starts[single]
+        out = [tbl.select(SEGMENT_SCHEMA.names).take(pa.array(pass_idx))]
+        binary = {
+            name for name in SEGMENT_SCHEMA.names
+            if pa.types.is_binary(SEGMENT_SCHEMA.field(name).type)
+        }
+        merged: list[dict] = []
+        for s, e in zip(starts[~single], ends[~single]):
+            parts = []
+            for i in range(int(s), int(e)):
+                row = {}
+                for name in SEGMENT_SCHEMA.names:
+                    row[name] = (
+                        memoryview(cols[name][i].as_buffer())
+                        if name in binary
+                        else cols[name][i].as_py()
+                    )
+                parts.append(row)
+            dec = [decode_segment(p, block_size) for p in parts]
+            doc = np.concatenate([d[0] for d in dec])
+            tf = np.concatenate([d[1] for d in dec])
+            dl = np.concatenate([d[2] for d in dec])
+            if doc.size > 1 and np.any(np.diff(doc) <= 0):
+                order = np.argsort(doc, kind="mergesort")
+                doc, tf, dl = doc[order], tf[order], dl[order]
+            term = next((p["term"] for p in parts if p["term"] is not None), None)
+            row = encode_postings(term, doc, tf, dl, block_size)
+            row["tid"] = int(tids[s])
+            merged.append(row)
+        if merged:
+            out.append(pa.Table.from_pylist(merged, schema=SEGMENT_SCHEMA))
+        return pa.concat_tables(out) if len(out) > 1 else out[0]
+
+    return compact_block

@@ -530,16 +530,26 @@ def append_index(
     Query-side readers pick the new groups up from the manifest with no
     code path change.
 
-    Requirements (validated): the index is complete, was built with the
-    same config fingerprint, the new files are not already part of the
-    index, and the new doc_id range does not overlap any existing
-    group's [doc_lo, doc_hi) — documents mode carries explicit ids, so
+    Requirements (validated): the index was built with the same config
+    fingerprint, the new files are not already part of the index, and
+    the new doc_id range does not overlap any existing group's
+    [doc_lo, doc_hi) — documents mode carries explicit ids, so
     disjointness is the caller's contract (transcripts mode assigns ids
     by global rank, where "append" is semantically a rebuild).
+
+    Crash-resumable: each appended group checkpoints in the manifest the
+    moment its atomic segment write lands, so re-running the same append
+    after a crash skips files already recorded (their groups are done)
+    and builds only the rest, then repairs the bookkeeping (group count,
+    finalize, inventory).  Only a complete index, or one whose
+    incompleteness is exactly such an interrupted append (every recorded
+    group done), is accepted.
     """
     cfg = cfg or IndexConfig()
     man = Manifest.load(index_dir)
-    if man is None or not man.is_complete():
+    if man is None or not man.groups or not all(
+        e.get("status") == "done" for e in man.groups.values()
+    ):
         raise ValueError(f"append_index requires a complete index at {index_dir!r}")
     if man.fingerprint != cfg.fingerprint():
         raise ValueError("config fingerprint differs from the existing index; rebuild")
@@ -550,52 +560,62 @@ def append_index(
     known = {
         bn for e in man.groups.values() for bn in e.get("input_files", [])
     }
-    dup = [f for f in files if os.path.basename(f) in known]
-    if dup:
-        raise ValueError(f"files already in the index: {dup}")
+    new_i = [i for i, f in enumerate(files) if os.path.basename(f) not in known]
+    if not new_i and man.is_complete():
+        raise ValueError(f"files already in the index: {files}")
 
-    groups = _plan_groups(files, rows, None, overlap=1)
-    base_gid = 1 + max(int(g) for g in man.groups)
-    old_ranges = [
-        (e["doc_lo"], e["doc_hi"])
-        for e in man.groups.values()
-        if e.get("doc_lo") is not None
-    ]
-    for off, file_idx in enumerate(groups):
-        gid = base_gid + off
-        t0 = time.perf_counter()
-        g_files = [files[i] for i in file_idx]
-        g_rows = sum(rows[i] for i in file_idx)
-        rng = _group_doc_range(g_files, g_rows, "documents", None)
-        for lo, hi in old_ranges:
-            if rng is not None and rng[0] < hi and lo < rng[1]:
-                raise ValueError(
-                    f"new doc_id range {rng} overlaps existing group [{lo}, {hi})"
-                )
-        nblocks = min(_shuffle_partitions(cfg), max(1, g_rows // 1000))
-        ds = rd.read_parquet(
-            g_files, columns=["doc_id", "text"], override_num_blocks=nblocks
-        )
-        g_dir = os.path.join(index_dir, SEGMENTS_DIR, f"group={gid}")
-        _build_group_segments(
-            ds, cfg, g_dir, g_rows > cfg.salt_range * 64, g_rows=g_rows
-        )
-        metrics = _group_metrics(g_dir)
-        man.mark_group(
-            gid,
-            input_files=[os.path.basename(f) for f in g_files],
-            n_docs=g_rows,
-            doc_lo=rng[0] if rng else None,
-            doc_hi=rng[1] if rng else None,
-            two_level=g_rows > cfg.salt_range * 64,
-            wall_s=round(time.perf_counter() - t0, 3),
-            **metrics,
-        )
-    man.n_groups = 1 + max(int(g) for g in man.groups)
+    if new_i:
+        sub_files = [files[i] for i in new_i]
+        sub_rows = [rows[i] for i in new_i]
+        groups = _plan_groups(sub_files, sub_rows, None, overlap=1)
+        base_gid = 1 + max(int(g) for g in man.groups)
+        old_ranges = [
+            (e["doc_lo"], e["doc_hi"])
+            for e in man.groups.values()
+            if e.get("doc_lo") is not None
+        ]
+        # clear finalize BEFORE any new postings land: stale global stats
+        # must not masquerade as current if we crash mid-append
+        man.stages.pop("finalize", None)
+        man.save()
+        for off, file_idx in enumerate(groups):
+            gid = base_gid + off
+            t0 = time.perf_counter()
+            g_files = [sub_files[i] for i in file_idx]
+            g_rows = sum(sub_rows[i] for i in file_idx)
+            rng = _group_doc_range(g_files, g_rows, "documents", None)
+            for lo, hi in old_ranges:
+                if rng is not None and rng[0] < hi and lo < rng[1]:
+                    raise ValueError(
+                        f"new doc_id range {rng} overlaps existing group [{lo}, {hi})"
+                    )
+            nblocks = min(_shuffle_partitions(cfg), max(1, g_rows // 1000))
+            ds = rd.read_parquet(
+                g_files, columns=["doc_id", "text"], override_num_blocks=nblocks
+            )
+            g_dir = os.path.join(index_dir, SEGMENTS_DIR, f"group={gid}")
+            _build_group_segments(
+                ds, cfg, g_dir, g_rows > cfg.salt_range * 64, g_rows=g_rows
+            )
+            metrics = _group_metrics(g_dir)
+            man.mark_group(
+                gid,
+                input_files=[os.path.basename(f) for f in g_files],
+                n_docs=g_rows,
+                doc_lo=rng[0] if rng else None,
+                doc_hi=rng[1] if rng else None,
+                two_level=g_rows > cfg.salt_range * 64,
+                wall_s=round(time.perf_counter() - t0, 3),
+                **metrics,
+            )
+        # inventory reflects the grown file set: chain the appended
+        # batch's hash onto the existing identity (chained only on
+        # success, over the full requested batch — a crash-retry ends
+        # at the same identity as a crash-free run; per-group lineage
+        # stays authoritative in `groups`)
+        man.inventory = f"{man.inventory}+{_inventory_hash(files, rows)}"[:64]
+    man.n_groups = len(man.groups)
     man.stages.pop("finalize", None)
-    # inventory reflects the grown file set: chain the appended batch's
-    # hash onto the existing identity (per-group lineage stays in groups)
-    man.inventory = f"{man.inventory}+{_inventory_hash(files, rows)}"[:64]
     man.save()
     _finalize_index(man, index_dir)
     return man

@@ -86,3 +86,32 @@ def test_append_requires_complete_index(split_docs, tmp_path):
     a, b, full, root = split_docs
     with pytest.raises(ValueError, match="complete index"):
         append_index(b, str(tmp_path / "nope"), IndexConfig())
+
+
+def test_append_resumes_after_crash(split_docs):
+    import shutil
+
+    from bm25_benchmarks_ray.state.manifest import Manifest
+
+    a, b, full, root = split_docs
+    cfg = IndexConfig()
+    idx = os.path.join(root, "idx_crash")
+    build_index(a, idx, cfg, mode="documents", fresh=True)
+    append_index(b, idx, cfg)
+    want = _topk(idx)
+
+    # simulate a crash mid-append: the appended group's segments +
+    # manifest entry vanish, finalize cleared, group count stale
+    man = Manifest.load(idx)
+    gid = max(man.done_groups())
+    del man.groups[str(gid)]
+    man.stages.pop("finalize", None)
+    man.n_groups = len(man.groups)
+    man.save()
+    shutil.rmtree(os.path.join(idx, "segments", f"group={gid}"))
+    assert not Manifest.load(idx).is_complete()
+
+    man2 = append_index(b, idx, cfg)  # same call again -> resume
+    assert man2.is_complete() and man2.stats["num_docs"] == 500
+    got = _topk(idx)
+    assert got[["qid", "doc_id", "rank"]].equals(want[["qid", "doc_id", "rank"]])

@@ -32,3 +32,30 @@ def export_pyserini_jsonl(
         )
 
     ds.map_batches(project, batch_format="pyarrow").write_json(out_dir)
+
+
+def export_trec_run(
+    results: pa.Table | "object",
+    path: str,
+    tag: str = "ray-bm25",
+) -> int:
+    """Write retrieval results as a TREC run file — the 6-column
+    ``qid Q0 doc_id rank score tag`` format trec_eval and the BEIR/PISA
+    tooling family consume (the reference's PISA runs emit this shape,
+    /root/reference/benchmark/on_pisa.py).  Accepts the (qid, doc_id,
+    rank, score) table produced by :func:`pipelines.query.search` (a
+    Dataset, pyarrow Table, or pandas frame); rows are written in
+    (qid, rank) order.  Returns the number of lines written."""
+    if hasattr(results, "to_pandas"):
+        df = results.to_pandas()
+    else:
+        df = results
+    df = df.sort_values(["qid", "rank"], kind="mergesort")
+    n = 0
+    with open(path, "w") as fh:
+        for qid, doc, rank, score in zip(
+            df["qid"], df["doc_id"], df["rank"], df["score"]
+        ):
+            fh.write(f"{qid} Q0 {doc} {rank} {score:.6f} {tag}\n")
+            n += 1
+    return n

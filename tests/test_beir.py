@@ -169,3 +169,25 @@ def test_pyserini_export_roundtrip(ray_session, tmp_path):
     assert sorted(int(r["id"]) for r in rows) == list(range(25))
     assert all(set(r) == {"id", "contents"} for r in rows)
     assert rows[0]["contents"].startswith("text number")
+
+
+def test_trec_run_export(ray_session, tmp_path):
+    import pandas as pd
+
+    from bm25_benchmarks_ray.sources.export import export_trec_run
+
+    res = pd.DataFrame(
+        {
+            "qid": ["q1", "q0", "q0"],
+            "doc_id": [7, 3, 5],
+            "rank": [1, 1, 2],
+            "score": [1.25, 2.5, 2.0],
+        }
+    )
+    out = tmp_path / "run.trec"
+    n = export_trec_run(res, str(out), tag="t")
+    lines = out.read_text().splitlines()
+    assert n == 3
+    assert lines[0] == "q0 Q0 3 1 2.500000 t"
+    assert lines[1] == "q0 Q0 5 2 2.000000 t"
+    assert lines[2] == "q1 Q0 7 1 1.250000 t"

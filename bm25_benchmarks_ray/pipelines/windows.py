@@ -123,33 +123,41 @@ def tumbling_window(
     key_col: str = "event_type",
     ts_col: str = "ts",
     value_col: str = "value",
+    shuffle: bool = False,
 ) -> rd.Dataset:
     """Count + sum(value) per (key, tumbling window of ``width_s``).
 
     The per-batch combiner collapses each block to one row per
-    (key, window) BEFORE the shuffle, so the wide ``groupby`` moves
+    (key, window) BEFORE any exchange, so what moves is
     ~|keys|x|windows| rows per block instead of per event — the partial
-    -aggregate pattern every 100-TB-scale windowed count needs.
+    -aggregate pattern every 100-TB-scale windowed count needs.  The
+    final reduce defaults to coalesce-and-combine (one tiny repartition
+    + one Arrow hash aggregate): the reduced cardinality is bounded by
+    |keys|x|windows|, which for typical window keys is thousands of
+    rows no matter the event count (a measured Ray sort-aggregate on
+    the same 288k combined rows cost ~8 s of pure shuffle fixed cost).
+    Pass ``shuffle=True`` for high-cardinality keys (e.g. per-user
+    windows) where the reduced table itself needs to stay distributed.
     Returns (event_type, window_start_us, n_events, sum_value)."""
     width_us = width_s * US
 
     def combine(batch: pa.Table) -> pa.Table:
         win = (_epoch_us(batch.column(ts_col)) // width_us) * width_us
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                key_col: batch.column(key_col).to_numpy(zero_copy_only=False),
-                "window_start_us": win,
-                "n_events": np.ones(win.size, dtype=np.int64),
-                "sum_value": batch.column(value_col).to_numpy(),
+                key_col: batch.column(key_col),
+                "window_start_us": pa.array(win, type=pa.int64()),
+                "sum_value": batch.column(value_col),
             }
         )
-        g = (
-            df.groupby([key_col, "window_start_us"], sort=False)
-            .agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
-            .reset_index()
+        # Arrow's C++ hash aggregate: no pandas round-trip, no
+        # string-column object materialization
+        g = pa.TableGroupBy(t, [key_col, "window_start_us"]).aggregate(
+            [("sum_value", "sum"), ([], "count_all")]
         )
-        # drop the pandas schema metadata: Ray block dedup can't hash it
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        return g.rename_columns(
+            [key_col, "window_start_us", "sum_value", "n_events"]
+        ).select([key_col, "window_start_us", "n_events", "sum_value"])
 
     def round_sum(batch: pa.Table) -> pa.Table:
         # 6-decimal round on both sides (here and the SQL oracle):
@@ -161,16 +169,29 @@ def tumbling_window(
             pc.round(batch.column("sum_value"), ndigits=6),
         )
 
-    return (
-        ds.select_columns([key_col, ts_col, value_col])
-        .map_batches(combine, batch_format="pyarrow")
-        .groupby([key_col, "window_start_us"])
-        .aggregate(
+    def final_combine(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, [key_col, "window_start_us"]).aggregate(
+            [("n_events", "sum"), ("sum_value", "sum")]
+        )
+        return g.rename_columns(
+            [key_col, "window_start_us", "n_events", "sum_value"]
+        )
+
+    combined = ds.select_columns([key_col, ts_col, value_col]).map_batches(
+        # whole-block batches: the combiner's output is ~|keys|x|windows|
+        # rows per BATCH, so bigger batches mean a smaller exchange
+        combine, batch_format="pyarrow", batch_size=None
+    )
+    if shuffle:
+        agg = combined.groupby([key_col, "window_start_us"]).aggregate(
             Sum("n_events", alias_name="n_events"),
             Sum("sum_value", alias_name="sum_value"),
         )
-        .map_batches(round_sum, batch_format="pyarrow")
-    )
+    else:
+        agg = combined.repartition(1).map_batches(
+            final_combine, batch_format="pyarrow", batch_size=None
+        )
+    return agg.map_batches(round_sum, batch_format="pyarrow")
 
 
 # -- as-of join ---------------------------------------------------------

@@ -30,7 +30,6 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from .text_analysis import WS_RE
 
@@ -65,13 +64,26 @@ def pack_offsets(
     counts = ds.select_columns([id_col, text_col]).map_batches(
         count, batch_format="pyarrow"
     ).materialize()  # two consumers below; counts is 3 ints per doc
+    # (24 bytes/doc ≈ 0.2% of a text corpus — "small result" scale; the
+    # alternative is recomputing the text pass for the second consumer)
 
-    # per-bucket totals -> driver cumsum (one row per bucket: tiny)
+    def bucket_sums(batch: pa.Table) -> pa.Table:
+        # per-batch combiner: one row per (block, bucket) leaves the task
+        g = pa.TableGroupBy(batch.select(["bucket", "n_tok"]), "bucket").aggregate(
+            [("n_tok", "sum")]
+        )
+        return g.rename_columns(["bucket", "tok"])
+
+    # partial per-bucket sums -> driver cumsum.  No Ray sort-aggregate:
+    # the partials are ~|blocks|x|buckets-per-block| rows (contiguous
+    # ids touch few buckets per block), and the final reduce is one
+    # pandas groupby over at most ~|buckets| rows (one int64 per 2^20
+    # ids at the default bucket_size)
+    partials = counts.map_batches(
+        bucket_sums, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
     totals = (
-        counts.groupby("bucket")
-        .aggregate(Sum("n_tok", alias_name="tok"))
-        .to_pandas()
-        .sort_values("bucket")
+        partials.groupby("bucket", sort=True)["tok"].sum().reset_index()
     )
     base = np.concatenate(([0], np.cumsum(totals["tok"].to_numpy())))[:-1]
     base_ref = ray.put(dict(zip(totals["bucket"].astype(np.int64), base)))

@@ -8,16 +8,26 @@ All three are expressed as compositions the streaming executor can
 pipeline (the build brief's option (a)):
 
 - ``tumbling_window`` is a per-batch partial aggregate (map-side
-  combine) followed by a small ``groupby().aggregate()`` — the shuffle
+  combine) followed by a coalesce-and-combine reduce — the exchange
   moves one row per (key, window) per block, not per event.
-- ``sessionize`` and ``asof_join`` hash-shuffle by the session/join key
-  (``groupby(key).map_groups``) and are vectorized inside each group
-  (numpy diff/searchsorted — no Python loop over events).
+- ``sessionize`` and ``asof_join`` sort on a HASHED key with explicit
+  equally-spaced uint64 boundaries (the index build's tid-partitioning
+  design, ``index_build._tid_boundaries``) and run a whole-partition
+  vectorized kernel that handles every key in the block in one numpy
+  pass.  NOT ``groupby(key).map_groups``: that shape dispatches one
+  Python UDF call and builds one table PER KEY — at 10^9 users it is
+  10^9 interpreter round-trips, the same per-group-dispatch trap the
+  index merge replaced with whole-partition batches
+  (stages/segments.py module docstring).
 
 Partitioning assumption (documented per the brief): ``sessionize`` and
-``asof_join`` require all events of one key in one group — the groupby
-provides it; skew is bounded by the busiest single key (sessions and
-as-of matches are per-user streams, naturally fine-grained at scale).
+``asof_join`` require all events of one key in one sorted partition —
+hashing the key makes the equally-spaced boundaries uniform regardless
+of the key distribution, and boundaries on the hash column alone mean
+no key ever straddles two partitions; skew is bounded by the busiest
+single key (per-user streams, naturally fine-grained at scale).  Hash
+collisions are handled exactly: the kernels break keys on the REAL key
+value, the hash is only the partitioner.
 
 Timestamps are carried as epoch MICROSECONDS (int64, matching the
 parquet ``timestamp[us]`` physical values) so outputs are exactly
@@ -41,6 +51,32 @@ def _epoch_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     return col.cast(pa.int64()).to_numpy()
+
+
+def _key_hash(keys: np.ndarray) -> np.ndarray:
+    """Deterministic uint64 hash of the partition key (pandas' fixed-key
+    SipHash — uniform on [0, 2^64), so equally-spaced boundaries balance
+    partitions for ANY key distribution)."""
+    return pd.util.hash_array(np.ascontiguousarray(keys), categorize=False)
+
+
+def _hash_sorted(ds: rd.Dataset, key_col: str, sort_cols: list[str]) -> rd.Dataset:
+    """Append a uint64 hash of ``key_col`` and range-sort on it with
+    explicit equally-spaced boundaries; every key lands wholly inside
+    one sorted partition (boundaries cut only the hash column)."""
+    import ray
+
+    from .index_build import _tid_boundaries
+
+    def add_hkey(batch: pa.Table) -> pa.Table:
+        hk = _key_hash(batch.column(key_col).to_numpy())
+        return batch.append_column("hkey", pa.array(hk, type=pa.uint64()))
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    width = max(2, 2 * cpus)
+    return ds.map_batches(add_hkey, batch_format="pyarrow").sort(
+        ["hkey", *sort_cols], boundaries=_tid_boundaries(width)
+    )
 
 
 # -- sessionization (gap-based session windows) ------------------------
@@ -76,43 +112,52 @@ def sessionize(
         }
     )
 
-    def per_key(tbl: pa.Table) -> pa.Table:
+    def all_keys(tbl: pa.Table) -> pa.Table:
+        """Every key in the sorted partition in ONE numpy pass: session
+        breaks are (key change) OR (gap > gap_us); per-key session
+        indices are the global break cumsum rebased at key starts."""
         if tbl.num_rows == 0:
             return _empty
         key = tbl.column(key_col).to_numpy()
         tsu = _epoch_us(tbl.column(ts_col))
         eid = tbl.column(id_col).to_numpy()
         val = tbl.column(value_col).to_numpy()
-        order = np.lexsort((eid, tsu))
-        tsu, val = tsu[order], val[order]
-        # new session where the gap from the previous event exceeds gap_us
-        brk = np.empty(tsu.size, dtype=np.int64)
-        brk[0] = 0
-        brk[1:] = (np.diff(tsu) > gap_us).astype(np.int64)
-        sess = np.cumsum(brk)
-        n_sessions = int(sess[-1]) + 1 if tsu.size else 0
-        start = np.zeros(n_sessions, dtype=np.int64)
-        end = np.zeros(n_sessions, dtype=np.int64)
-        cnt = np.bincount(sess, minlength=n_sessions)
-        sums = np.bincount(sess, weights=val, minlength=n_sessions)
-        first = np.flatnonzero(np.concatenate(([1], brk[1:])))
-        start[:] = tsu[first]
-        last = np.concatenate((first[1:] - 1, [tsu.size - 1]))
-        end[:] = tsu[last]
+        # re-establish (key, ts, id) order locally: exact regardless of
+        # how the distributed sort tie-broke equal composite keys
+        order = np.lexsort((eid, tsu, key))
+        key, tsu, val = key[order], tsu[order], val[order]
+        n = key.size
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = key[1:] != key[:-1]
+        brk = new_key.copy()
+        brk[1:] |= (tsu[1:] - tsu[:-1]) > gap_us
+        sess = np.cumsum(brk) - 1  # global 0-based session index
+        sstart = np.flatnonzero(brk)
+        send = np.append(sstart[1:], n)
+        # session_idx within key: global index rebased at the key start
+        kstart = np.flatnonzero(new_key)
+        base = np.repeat(sess[kstart], np.diff(np.append(kstart, n)))
+        sidx = (sess - base)[sstart]
         return pa.table(
             {
-                key_col: pa.array(np.full(n_sessions, key[0]), type=pa.int64()),
-                "session_idx": pa.array(np.arange(n_sessions), type=pa.int64()),
-                "start_us": pa.array(start, type=pa.int64()),
-                "end_us": pa.array(end, type=pa.int64()),
-                "n_events": pa.array(cnt.astype(np.int64), type=pa.int64()),
-                "sum_value": pa.array(sums, type=pa.float64()),
+                key_col: pa.array(key[sstart], type=pa.int64()),
+                "session_idx": pa.array(sidx, type=pa.int64()),
+                "start_us": pa.array(tsu[sstart], type=pa.int64()),
+                "end_us": pa.array(tsu[send - 1], type=pa.int64()),
+                "n_events": pa.array(send - sstart, type=pa.int64()),
+                "sum_value": pa.array(
+                    np.add.reduceat(val, sstart), type=pa.float64()
+                ),
             }
         )
 
-    return ds.select_columns([key_col, ts_col, id_col, value_col]).groupby(
-        key_col
-    ).map_groups(per_key, batch_format="pyarrow")
+    sorted_ds = _hash_sorted(
+        ds.select_columns([key_col, ts_col, id_col, value_col]),
+        key_col,
+        [ts_col, id_col],
+    )
+    return sorted_ds.map_batches(all_keys, batch_format="pyarrow", batch_size=None)
 
 
 # -- tumbling-window aggregate -----------------------------------------
@@ -214,50 +259,68 @@ def asof_join(
     Returns (event_id, user_id, ts_us, matched_event_id, matched_ts_us)
     with nulls where no right event precedes the left one.
 
-    Shape: filter both sides at the read -> one hash shuffle by key ->
-    vectorized searchsorted per group.  Two separate datasets with the
-    same schema can be as-of joined by tagging + ``union`` upstream.
+    Shape: filter + side-tag both streams at the read -> one hash-
+    partitioned sort by (key, ts, side, id) -> whole-partition
+    vectorized kernel.  The match is a single ``np.maximum.accumulate``
+    over ``key_index * n + position`` (rights only): at each left row
+    the running max decodes to the latest right AT OR BEFORE it (rights
+    sort before lefts on equal ts; equal-ts rights resolve to the max
+    event_id because higher ids sort later), and a decoded key index
+    that differs from the row's own key means "no right yet for this
+    key".  One kernel invocation per partition, every key at once — no
+    per-key UDF dispatch.  Two separate datasets with the same schema
+    can be as-of joined by tagging + ``union`` upstream.
     """
+    _empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            key_col: pa.array([], type=pa.int64()),
+            "ts_us": pa.array([], type=pa.int64()),
+            "matched_event_id": pa.array([], type=pa.int64()),
+            "matched_ts_us": pa.array([], type=pa.int64()),
+        }
+    )
 
-    def per_key(tbl: pa.Table) -> pa.Table:
-        types = tbl.column(type_col).to_numpy(zero_copy_only=False)
+    def keep_types(batch: pa.Table) -> pa.Table:
+        t = batch.column(type_col)
+        mask = pc.or_(pc.equal(t, left_type), pc.equal(t, right_type))
+        kept = batch.filter(mask)
+        # side 0 = right, 1 = left: rights sort BEFORE lefts at equal ts,
+        # which is exactly the inclusive (right.ts <= left.ts) rule
+        side = pc.cast(pc.equal(kept.column(type_col), left_type), pa.int8())
+        return kept.drop_columns([type_col]).append_column("side", side)
+
+    def all_keys(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _empty
+        key = tbl.column(key_col).to_numpy()
         tsu = _epoch_us(tbl.column(ts_col))
         eid = tbl.column(id_col).to_numpy()
-        key = tbl.column(key_col).to_numpy()
-        lm = types == left_type
-        rm = types == right_type
-        l_ts, l_id = tsu[lm], eid[lm]
-        out_len = int(l_ts.size)
-        if out_len == 0:
-            return pa.table(
-                {
-                    id_col: pa.array([], type=pa.int64()),
-                    key_col: pa.array([], type=pa.int64()),
-                    "ts_us": pa.array([], type=pa.int64()),
-                    "matched_event_id": pa.array([], type=pa.int64()),
-                    "matched_ts_us": pa.array([], type=pa.int64()),
-                }
-            )
-        r_ts, r_id = tsu[rm], eid[rm]
-        if r_ts.size:
-            # sort rights by (ts, id); dedupe equal ts keeping max id
-            order = np.lexsort((r_id, r_ts))
-            r_ts, r_id = r_ts[order], r_id[order]
-            last = np.concatenate((r_ts[1:] != r_ts[:-1], [True]))
-            r_ts, r_id = r_ts[last], r_id[last]
-            idx = np.searchsorted(r_ts, l_ts, side="right") - 1
-            ok = idx >= 0
-            m_id = np.where(ok, r_id[np.clip(idx, 0, None)], 0)
-            m_ts = np.where(ok, r_ts[np.clip(idx, 0, None)], 0)
-        else:
-            ok = np.zeros(out_len, dtype=bool)
-            m_id = m_ts = np.zeros(out_len, dtype=np.int64)
-        valid = pa.array(ok)
+        side = tbl.column("side").to_numpy()
+        order = np.lexsort((eid, side, tsu, key))
+        key, tsu, eid, side = key[order], tsu[order], eid[order], side[order]
+        n = key.size
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = key[1:] != key[:-1]
+        gidx = np.cumsum(new_key, dtype=np.int64) - 1  # dense key index
+        pos = np.arange(n, dtype=np.int64)
+        # rights carry gidx*n + pos (monotone across the partition);
+        # lefts carry -1, so the running max always points at the
+        # latest right seen so far — valid only if its key matches
+        tag = np.where(side == 0, gidx * n + pos, np.int64(-1))
+        cm = np.maximum.accumulate(tag)
+        left = side == 1
+        ok = left & (cm >= 0) & ((cm // n) == gidx)
+        m_pos = np.where(ok, cm - gidx * n, 0)
+        valid = pa.array(ok[left])
+        m_id = eid[m_pos][left]
+        m_ts = tsu[m_pos][left]
         return pa.table(
             {
-                id_col: pa.array(l_id, type=pa.int64()),
-                key_col: pa.array(np.full(out_len, key[0]), type=pa.int64()),
-                "ts_us": pa.array(l_ts, type=pa.int64()),
+                id_col: pa.array(eid[left], type=pa.int64()),
+                key_col: pa.array(key[left], type=pa.int64()),
+                "ts_us": pa.array(tsu[left], type=pa.int64()),
                 "matched_event_id": pc.if_else(
                     valid, pa.array(m_id, type=pa.int64()), pa.scalar(None, pa.int64())
                 ),
@@ -267,12 +330,8 @@ def asof_join(
             }
         )
 
-    def keep_types(batch: pa.Table) -> pa.Table:
-        t = batch.column(type_col)
-        mask = pc.or_(pc.equal(t, left_type), pc.equal(t, right_type))
-        return batch.filter(mask)
-
     filtered = ds.select_columns([key_col, ts_col, id_col, type_col]).map_batches(
         keep_types, batch_format="pyarrow"
     )
-    return filtered.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    sorted_ds = _hash_sorted(filtered, key_col, [ts_col, "side", id_col])
+    return sorted_ds.map_batches(all_keys, batch_format="pyarrow", batch_size=None)

@@ -18,7 +18,6 @@ composite is value-hash-checkable end to end.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -92,17 +91,29 @@ def curate(
         )
         return tbl.filter(pa.array(keep))
 
-    def survivor(g: pd.DataFrame) -> pd.DataFrame:
-        i = int(g["doc_id"].to_numpy().argmin())
-        return g.iloc[[i]]
+    def survivors_block(batch: pa.Table) -> pa.Table:
+        """Min-doc_id survivor per content hash for EVERY hash in the
+        sorted partition in one pass — no per-group UDF dispatch (the
+        group count here is ~the distinct-document count)."""
+        if batch.num_rows == 0:
+            return batch.drop_columns(["bkey", "h", "samp"])
+        h = batch.column("h").to_numpy()
+        doc = batch.column("doc_id").to_numpy()
+        order = np.lexsort((doc, h))
+        hs = h[order]
+        first = np.empty(hs.size, dtype=bool)
+        first[0] = True
+        first[1:] = hs[1:] != hs[:-1]
+        keep_rows = order[first]
+        out = batch.take(pa.array(np.sort(keep_rows)))
+        out = out.filter(out.column("samp"))
+        return out.drop_columns(["bkey", "h", "samp"])
 
-    return (
-        ds.select_columns(["doc_id", "text", "source"])
-        .map_batches(fused, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(survivor, batch_format="pandas")
-        .map_batches(
-            lambda b: b.filter(b.column("samp")).drop_columns(["h", "samp"]),
-            batch_format="pyarrow",
-        )
+    from .dedup import _bucket_sorted
+
+    fused_rows = ds.select_columns(["doc_id", "text", "source"]).map_batches(
+        fused, batch_format="pyarrow"
+    )
+    return _bucket_sorted(fused_rows, ["h"]).map_batches(
+        survivors_block, batch_format="pyarrow", batch_size=None
     )

@@ -256,24 +256,95 @@ class DropReport:
         return ray.get(self._actor.get.remote())
 
 
-def make_pairs_from_group(max_bucket: int, drop_handle=None):
-    def pairs_from_group(tbl: pa.Table) -> pa.Table:
-        doc = np.unique(tbl.column("doc_id").to_numpy())
-        if doc.size < 2 or doc.size > max_bucket:
-            if doc.size > max_bucket and drop_handle is not None:
-                import ray
+def _bucket_sorted(rows: rd.Dataset, key_cols: list[str], width: int | None = None):
+    """Range-sort ``rows`` so every bucket (distinct ``key_cols`` tuple)
+    lands wholly inside one partition, WITHOUT ``groupby().map_groups``:
+    a uniform hash of the key tuple gets explicit equally-spaced uint64
+    boundaries (the index build's tid-partitioning design), so kernels
+    can process every bucket in a partition in one invocation instead
+    of one Python UDF dispatch + one table PER BUCKET (at 10^9 buckets
+    that shape is 10^9 interpreter round-trips).  Hash collisions stay
+    exact: consumers break runs on the REAL key values, which sort
+    contiguously under (bkey, *key_cols)."""
+    import ray
 
-                # Block until recorded: a fire-and-forget add could still
-                # be in flight when the driver reads the counter after the
-                # dataset completes (rare path, off the hot loop).
-                ray.get(drop_handle.add.remote(int(doc.size)))
-            return pa.table(
-                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
-            )
-        ai, bi = np.triu_indices(doc.size, k=1)
-        return pa.table({"a": pa.array(doc[ai]), "b": pa.array(doc[bi])})
+    from .index_build import _tid_boundaries
 
-    return pairs_from_group
+    def add_bkey(batch: pa.Table) -> pa.Table:
+        mix = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in key_cols:
+            v = batch.column(c).to_numpy().astype(np.int64, copy=False)
+            mix = mix * np.uint64(0x9E3779B97F4A7C15) + v.view(np.uint64)
+        bkey = pd.util.hash_array(mix, categorize=False)
+        return batch.append_column("bkey", pa.array(bkey, type=pa.uint64()))
+
+    if width is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        width = max(2, 2 * cpus)
+    return rows.map_batches(add_bkey, batch_format="pyarrow").sort(
+        ["bkey", *key_cols], boundaries=_tid_boundaries(width)
+    )
+
+
+def _bucket_runs(tbl: pa.Table, key_cols: list[str]):
+    """(order, starts, ends) of bucket runs in a sorted partition: rows
+    re-lexsorted locally by (key_cols, doc_id); runs break wherever any
+    real key column changes."""
+    cols = [tbl.column(c).to_numpy() for c in key_cols]
+    doc = tbl.column("doc_id").to_numpy()
+    order = np.lexsort((doc, *reversed(cols)))
+    n = doc.size
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for c in cols:
+        cs = c[order]
+        new[1:] |= cs[1:] != cs[:-1]
+    starts = np.flatnonzero(new)
+    return order, starts, np.append(starts[1:], n)
+
+
+def bucket_pairs(
+    rows: rd.Dataset,
+    key_cols: list[str],
+    max_bucket: int,
+    drop_handle=None,
+) -> rd.Dataset:
+    """Candidate (a, b) pairs per bucket over (key_cols..., doc_id)
+    rows — the whole-partition replacement for
+    ``groupby(key_cols).map_groups(make_pairs_from_group(...))``."""
+
+    def pairs_block(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        order, starts, ends = _bucket_runs(tbl, key_cols)
+        doc = tbl.column("doc_id").to_numpy()[order]
+        out_a, out_b, dropped = [], [], []
+        for s, e in zip(starts, ends):
+            d = np.unique(doc[s:e])
+            if d.size < 2:
+                continue
+            if d.size > max_bucket:
+                dropped.append(int(d.size))
+                continue
+            ai, bi = np.triu_indices(d.size, k=1)
+            out_a.append(d[ai])
+            out_b.append(d[bi])
+        if dropped and drop_handle is not None:
+            import ray
+
+            ray.get([drop_handle.add.remote(x) for x in dropped])
+        if not out_a:
+            return _PAIR_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            }
+        )
+
+    return _bucket_sorted(rows, key_cols).map_batches(
+        pairs_block, batch_format="pyarrow", batch_size=None
+    )
 
 
 def ngram_jaccard_pairs(
@@ -292,11 +363,11 @@ def ngram_jaccard_pairs(
     sh = ds.map_batches(lambda b: _shingle_rows(b, n), batch_format="pyarrow")
     sizes = _stabilize(sh.groupby("doc_id").aggregate(Min("n_sh", alias_name="n_sh")))
 
-    pairs = sh.groupby("sh").map_groups(
-        make_pairs_from_group(
-            max_bucket, drop_report.handle if drop_report else None
-        ),
-        batch_format="pyarrow",
+    pairs = bucket_pairs(
+        sh.select_columns(["sh", "doc_id"]),
+        ["sh"],
+        max_bucket,
+        drop_report.handle if drop_report else None,
     )
     # co-occurrence count per pair = |A∩B| (vectorized aggregate).
     # Materialized (small, post-cap bounded): zero candidates must
@@ -460,13 +531,11 @@ def minhash_lsh_pairs(
         )
 
     cands = _distinct_pairs(
-        sig.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "bucket"])
-        .map_groups(
-            make_pairs_from_group(
-                max_bucket, drop_report.handle if drop_report else None
-            ),
-            batch_format="pyarrow",
+        bucket_pairs(
+            sig.map_batches(band_rows, batch_format="pyarrow"),
+            ["band", "bucket"],
+            max_bucket,
+            drop_report.handle if drop_report else None,
         )
     )
     cands = cands.materialize()
@@ -562,45 +631,62 @@ def simhash_pairs(
             }
         )
 
-    def pairs_with_sim(tbl: pa.Table) -> pa.Table:
-        df = (
-            tbl.select(["doc_id", "sim"])
-            .to_pandas()
-            .drop_duplicates("doc_id")
-            .sort_values("doc_id")
-        )
-        doc = df["doc_id"].to_numpy()
-        sim = df["sim"].to_numpy(dtype=np.uint64)
-        if doc.size < 2 or doc.size > max_bucket:
-            if doc.size > max_bucket and drop_handle is not None:
-                import ray
+    _empty = pa.table({"a": pa.array([], type=pa.int64()),
+                       "b": pa.array([], type=pa.int64()),
+                       "hamming": pa.array([], type=pa.int64())})
 
-                # Block until recorded: a fire-and-forget add could still
-                # be in flight when the driver reads the counter after the
-                # dataset completes (rare path, off the hot loop).
-                ray.get(drop_handle.add.remote(int(doc.size)))
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64()),
-                             "hamming": pa.array([], type=pa.int64())})
-        ai, bi = np.triu_indices(doc.size, k=1)
-        x = sim[ai] ^ sim[bi]
+    def sim_pairs_block(tbl: pa.Table) -> pa.Table:
+        """All buckets of the sorted partition in one invocation:
+        per-run triu candidates accumulate, then ONE vectorized popcount
+        over every candidate pair (not one 64-shift loop per bucket)."""
+        if tbl.num_rows == 0:
+            return _empty
+        order, starts, ends = _bucket_runs(tbl, ["band", "bucket"])
+        doc = tbl.column("doc_id").to_numpy()[order]
+        sim = tbl.column("sim").to_numpy()[order]
+        cand_a, cand_b, cand_x, dropped = [], [], [], []
+        for s, e in zip(starts, ends):
+            d, si = doc[s:e], sim[s:e]
+            uniq = np.empty(d.size, dtype=bool)
+            uniq[0] = True
+            uniq[1:] = d[1:] != d[:-1]  # doc-sorted within run
+            d, si = d[uniq], si[uniq]
+            if d.size < 2:
+                continue
+            if d.size > max_bucket:
+                dropped.append(int(d.size))
+                continue
+            ai, bi = np.triu_indices(d.size, k=1)
+            cand_a.append(d[ai])
+            cand_b.append(d[bi])
+            cand_x.append(si[ai] ^ si[bi])
+        if dropped and drop_handle is not None:
+            import ray
+
+            ray.get([drop_handle.add.remote(x) for x in dropped])
+        if not cand_a:
+            return _empty
+        a = np.concatenate(cand_a)
+        b = np.concatenate(cand_b)
+        x = np.concatenate(cand_x)
         ham = np.zeros(x.size, dtype=np.int64)
         for i in range(64):
             ham += ((x >> np.uint64(i)) & np.uint64(1)).astype(np.int64)
         keep = ham <= hamming_max
         return pa.table(
             {
-                "a": pa.array(doc[ai][keep]),
-                "b": pa.array(doc[bi][keep]),
-                "hamming": pa.array(ham[keep]),
+                "a": pa.array(a[keep], type=pa.int64()),
+                "b": pa.array(b[keep], type=pa.int64()),
+                "hamming": pa.array(ham[keep], type=pa.int64()),
             }
         )
 
     return _nonempty_or(
         _distinct_pairs(
-            ds.map_batches(sim_rows, batch_format="pyarrow")
-            .groupby(["band", "bucket"])
-            .map_groups(pairs_with_sim, batch_format="pyarrow"),
+            _bucket_sorted(
+                ds.map_batches(sim_rows, batch_format="pyarrow"),
+                ["band", "bucket"],
+            ).map_batches(sim_pairs_block, batch_format="pyarrow", batch_size=None),
             keep="hamming",
         ),
         _PAIR_SCHEMA.append(pa.field("hamming", pa.int64())),

@@ -454,7 +454,7 @@ def hyperplane_lsh_pairs(
     parameterization, is the 100-TB shape: real near-dup thresholds are
     high, buckets get selective, and over-cap clusters are counted via
     ``drop_report`` instead of silently skipped."""
-    from .dedup import _distinct_pairs, _join_partitions, make_pairs_from_group
+    from .dedup import _distinct_pairs, _join_partitions, bucket_pairs
 
     if dim is None:
         first = ds.take_batch(1, batch_format="pyarrow")
@@ -470,11 +470,9 @@ def hyperplane_lsh_pairs(
         concurrency=(1, 8),
     )
     cands = _distinct_pairs(
-        rows.groupby(["band", "bucket"]).map_groups(
-            make_pairs_from_group(
-                max_bucket, drop_report.handle if drop_report else None
-            ),
-            batch_format="pyarrow",
+        bucket_pairs(
+            rows, ["band", "bucket"], max_bucket,
+            drop_report.handle if drop_report else None,
         )
     ).materialize()
     if cands.count() == 0:

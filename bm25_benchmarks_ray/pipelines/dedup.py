@@ -476,7 +476,11 @@ class MinHasher:
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "sig": pa.array(list(sigs), type=pa.list_(pa.uint64(), self.k)),
+                # zero-copy fixed-size-list build from the flat matrix —
+                # pa.array(list(sigs)) materialized a Python object per ROW
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1)), self.k
+                ),
             }
         )
 
@@ -505,7 +509,13 @@ def minhash_lsh_pairs(
     )
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        sigs = np.asarray(batch.column("sig").to_pylist(), dtype=np.uint64)
+        col = batch.column("sig")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # zero-copy flat view of the fixed-size-list signatures
+        sigs = col.flatten().to_numpy(zero_copy_only=False).reshape(
+            batch.num_rows, -1
+        ).astype(np.uint64, copy=False)
         doc = batch.column("doc_id").to_numpy()
         if sigs.size == 0:
             return pa.table({"band": pa.array([], type=pa.int32()),

@@ -152,3 +152,34 @@ def test_stratified_sample_fast_hasher(lang_docs):
         lang_docs, {"en": 0.5}, seed=7, hasher="fast"
     ).to_pandas()
     assert 50 <= len(out) <= 150 and set(out.lang) == {"en"}
+
+
+def test_tumbling_shuffle_path_equivalent(small_events):
+    a = (
+        tumbling_window(small_events, width_s=3600, shuffle=False)
+        .to_pandas()
+        .sort_values(["event_type", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    b = (
+        tumbling_window(small_events, width_s=3600, shuffle=True)
+        .to_pandas()
+        .sort_values(["event_type", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_sessionize_many_keys_one_partition(ray_session):
+    # several keys inside one sorted partition exercise the
+    # whole-partition kernel's key-boundary logic
+    rows = []
+    eid = 0
+    for u in range(7):
+        for k in range(u + 1):  # u+1 events, 40-min gaps -> u+1 sessions
+            rows.append((eid, u, k * 40, "x", 1.0))
+            eid += 1
+    out = sessionize(_events(rows), gap_s=1800).to_pandas()
+    per_user = out.groupby("user_id").size()
+    assert per_user.to_dict() == {u: u + 1 for u in range(7)}
+    assert (out.n_events == 1).all()

@@ -32,7 +32,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Min
 
 from ..functions.tokenizer import TOKEN_RE
 
@@ -69,19 +68,58 @@ def _nonempty_or(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
 _PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
 
-def _distinct_pairs(pairs: rd.Dataset, keep: str | None = None) -> rd.Dataset:
-    """Distinct (a, b) via a vectorized groupby-aggregate — one sort
-    shuffle, no per-group Python lambdas.  ``keep``: a column whose
-    per-pair Min should survive (identical across duplicates here)."""
-    if keep is None:
-        return _stabilize(
-            pairs.groupby(["a", "b"])
-            .aggregate(Count(alias_name="_n"))
-            .select_columns(["a", "b"])
-        )
-    return _stabilize(
-        pairs.groupby(["a", "b"]).aggregate(Min(keep, alias_name=keep))
+def _pair_run_reduce(
+    pairs: rd.Dataset, count_as: str | None = None, keep: str | None = None
+) -> rd.Dataset:
+    """Per-(a, b) reduce over a pair stream — distinct, count, or
+    min(keep) — as a hash-partitioned sort + whole-partition run kernel
+    instead of Ray's sort-aggregate (same result; the aggregate's
+    output builder and fixed cost measured ~8 s even on tiny inputs).
+    The sort key is a uniform hash of (a, b) with explicit boundaries,
+    so every pair's duplicates land in one partition; runs break on the
+    real (a, b) values (collision-exact)."""
+
+    def reduce_block(batch: pa.Table) -> pa.Table:
+        schema_cols = {"a": pa.array([], type=pa.int64()),
+                       "b": pa.array([], type=pa.int64())}
+        if count_as:
+            schema_cols[count_as] = pa.array([], type=pa.int64())
+        if keep:
+            schema_cols[keep] = pa.array([], type=pa.int64())
+        if batch.num_rows == 0:
+            return pa.table(schema_cols)
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        if keep:
+            k = batch.column(keep).to_numpy()
+            order = np.lexsort((k, b, a))
+        else:
+            order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.empty(a.size, dtype=bool)
+        first[0] = True
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(first)
+        out = {"a": pa.array(a[starts], type=pa.int64()),
+               "b": pa.array(b[starts], type=pa.int64())}
+        if count_as:
+            out[count_as] = pa.array(
+                np.diff(np.append(starts, a.size)), type=pa.int64()
+            )
+        if keep:
+            # sorted by keep within each run: the run start is the min
+            out[keep] = pa.array(k[order][starts], type=pa.int64())
+        return pa.table(out)
+
+    return _bucket_sorted(pairs, ["a", "b"]).map_batches(
+        reduce_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def _distinct_pairs(pairs: rd.Dataset, keep: str | None = None) -> rd.Dataset:
+    """Distinct (a, b); ``keep``: a column whose per-pair Min survives
+    (identical across duplicates here)."""
+    return _stabilize(_pair_run_reduce(pairs, keep=keep))
 
 # -- deterministic vectorized hashing ---------------------------------
 
@@ -373,7 +411,22 @@ def ngram_jaccard_pairs(
     table back onto the pairs (both sides stay distributed — no
     driver-side size map).  ``drop_report`` surfaces over-cap buckets."""
     sh = ds.map_batches(lambda b: _shingle_rows(b, n), batch_format="pyarrow")
-    sizes = _stabilize(sh.groupby("doc_id").aggregate(Min("n_sh", alias_name="n_sh")))
+
+    def sizes_block(batch: pa.Table) -> pa.Table:
+        # one (doc, n_sh) row per doc WITHOUT a shuffle: input rows are
+        # one per doc, so a per-batch shingle count is already the
+        # global per-doc table (costs one extra tokenize pass; the
+        # alternative — reducing the shingle rows — is a sort-aggregate
+        # over ~shingles-per-doc x N rows)
+        _, _, n_sh = shingle_hashes(batch.column("text").to_pylist(), n)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_sh": pa.array(n_sh, type=pa.int64()),
+            }
+        )
+
+    sizes = _stabilize(ds.map_batches(sizes_block, batch_format="pyarrow"))
 
     pairs = bucket_pairs(
         sh.select_columns(["sh", "doc_id"]),
@@ -381,13 +434,13 @@ def ngram_jaccard_pairs(
         max_bucket,
         drop_report.handle if drop_report else None,
     )
-    # co-occurrence count per pair = |A∩B| (vectorized aggregate).
-    # Materialized (small, post-cap bounded): zero candidates must
-    # short-circuit BEFORE the size join — the Arrow hash join rejects
-    # an empty left side outright.
-    inter = _stabilize(
-        pairs.groupby(["a", "b"]).aggregate(Count(alias_name="inter"))
-    ).materialize()
+    # co-occurrence count per pair = |A∩B|: hash-sorted whole-partition
+    # run counts (a pair repeats once per shared shingle, possibly from
+    # different buckets — a genuine global reduce, done without the Ray
+    # sort-aggregate's fixed cost).  Materialized (small, post-cap
+    # bounded): zero candidates must short-circuit BEFORE the size join
+    # — the Arrow hash join rejects an empty left side outright.
+    inter = _stabilize(_pair_run_reduce(pairs, count_as="inter")).materialize()
     if inter.count() == 0:
         return rd.from_arrow(
             _PAIR_SCHEMA.append(pa.field("jaccard", pa.float64())).empty_table()

@@ -286,7 +286,14 @@ class _DecodeCache:
 # pruned wins 2x at k=10.  Above the cutoff, score DENSELY: one
 # reusable float64 accumulator over the slice's doc range, scatter-add
 # per term, one flatnonzero sweep per query.
-DENSE_K_CUTOFF = 64
+DENSE_K_CUTOFF = int(os.environ.get("GRAFT_DENSE_K_CUTOFF", "64"))
+# ... but only on wide doc ranges: A/B (alternating fresh processes,
+# best-of-5 × 2) shows pruned still wins at 120k docs even at k=1000
+# (0.76-0.99 s vs 1.25-1.49 s per 200-query batch), break-even at
+# ~1.2M docs (2.5 s both), dense 2.6x ahead at 3.2M-doc slices.  The
+# dense path's per-query O(range) mask sweep + accumulator reset is
+# pure overhead on small ranges where the candidate merge is cheap.
+DENSE_MIN_RANGE = int(os.environ.get("GRAFT_DENSE_MIN_RANGE", "1500000"))
 # Accumulator memory is 9 bytes/doc (f64 + bool); cap the slice width
 # it is attempted for (16M docs = 144 MB/task) — wider slices keep the
 # sort-based path.
@@ -351,7 +358,9 @@ def score_range(
         # strict positivity: a w == 0 term (atire idf at df == N) can
         # leave matched docs tied AT qconst, where unmatched lower ids
         # win — those queries go exhaustive too
-        if rows and prune and all_pos and not (dense_ok and k >= DENSE_K_CUTOFF):
+        if rows and prune and all_pos and not (
+            dense_ok and k >= DENSE_K_CUTOFF and (hi - lo) >= DENSE_MIN_RANGE
+        ):
             doc, score = score_query_pruned(
                 rows, ws, params, avgdl, k, block_size, lo, hi, qc,
                 full_decode=decoded,

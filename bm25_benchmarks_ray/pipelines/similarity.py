@@ -454,7 +454,7 @@ def hyperplane_lsh_pairs(
     parameterization, is the 100-TB shape: real near-dup thresholds are
     high, buckets get selective, and over-cap clusters are counted via
     ``drop_report`` instead of silently skipped."""
-    from .dedup import _distinct_pairs, _join_partitions, bucket_pairs
+    from .dedup import _distinct_pairs, _join_partitions, _stage_pool, bucket_pairs
 
     if dim is None:
         first = ds.take_batch(1, batch_format="pyarrow")
@@ -467,7 +467,7 @@ def hyperplane_lsh_pairs(
             "vec_col": vec_col, "id_col": id_col,
         },
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=_stage_pool(),
     )
     cands = _distinct_pairs(
         bucket_pairs(

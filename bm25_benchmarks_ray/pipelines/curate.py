@@ -96,7 +96,7 @@ def curate(
         sorted partition in one pass — no per-group UDF dispatch (the
         group count here is ~the distinct-document count)."""
         if batch.num_rows == 0:
-            return batch.drop_columns(["bkey", "h", "samp"])
+            return batch.drop_columns(["h", "samp"])
         h = batch.column("h").to_numpy()
         doc = batch.column("doc_id").to_numpy()
         order = np.lexsort((doc, h))
@@ -107,13 +107,13 @@ def curate(
         keep_rows = order[first]
         out = batch.take(pa.array(np.sort(keep_rows)))
         out = out.filter(out.column("samp"))
-        return out.drop_columns(["bkey", "h", "samp"])
+        return out.drop_columns(["h", "samp"])
 
     from .dedup import _bucket_sorted
 
     fused_rows = ds.select_columns(["doc_id", "text", "source"]).map_batches(
         fused, batch_format="pyarrow"
     )
-    return _bucket_sorted(fused_rows, ["h"]).map_batches(
+    return _bucket_sorted(fused_rows, ["h"], prehashed=True).map_batches(
         survivors_block, batch_format="pyarrow", batch_size=None
     )

@@ -261,7 +261,7 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
         return pa.table({id_col: pa.array(doc[order][first], type=pa.int64())})
 
     combined = ds.map_batches(combine, batch_format="pyarrow")
-    return _bucket_sorted(combined, ["h"]).map_batches(
+    return _bucket_sorted(combined, ["h"], prehashed=True).map_batches(
         survivors_block, batch_format="pyarrow", batch_size=None
     )
 
@@ -340,11 +340,15 @@ def _bucket_sorted(
     contiguously under (bkey, *key_cols).
 
     ``prehashed``: the single key column is ITSELF already a uniform
-    uint64 hash (shingle siphash, minhash band-bucket mix) — sort
-    directly on it, skipping the bkey pass and its 8 B/row of exchange
-    payload.  Runs then break on the hash value alone, so two REAL
-    buckets colliding in 64 bits would merge — exactly the collision
-    semantics those hashes already carry as bucket identities."""
+    64-bit hash carried as an int64 VIEW (content hash, shingle hash —
+    the views avoid >2^63 Python-int round-trips in Ray's sort
+    machinery) — sort directly on it, skipping the bkey pass and its
+    8 B/row of exchange payload.  Boundaries are the same equal-width
+    grid shifted into the int64 domain (the view is order-permuted vs
+    uint64 but stays uniform, which is all balance needs).  Runs then
+    break on the hash value alone, so two REAL buckets colliding in 64
+    bits would merge — exactly the collision semantics those hashes
+    already carry as bucket identities."""
     import ray
 
     from .index_build import _tid_boundaries
@@ -354,7 +358,9 @@ def _bucket_sorted(
         width = max(2, 2 * cpus)
     if prehashed:
         assert len(key_cols) == 1
-        return rows.sort(key_cols, boundaries=_tid_boundaries(width))
+        return rows.sort(
+            key_cols, boundaries=[b - 2**63 for b in _tid_boundaries(width)]
+        )
 
     def add_bkey(batch: pa.Table) -> pa.Table:
         mix = np.zeros(batch.num_rows, dtype=np.uint64)
@@ -391,6 +397,7 @@ def bucket_pairs(
     key_cols: list[str],
     max_bucket: int,
     drop_handle=None,
+    prehashed: bool = False,
 ) -> rd.Dataset:
     """Candidate (a, b) pairs per bucket over (key_cols..., doc_id)
     rows — the whole-partition replacement for
@@ -441,7 +448,7 @@ def bucket_pairs(
             }
         )
 
-    return _bucket_sorted(rows, key_cols).map_batches(
+    return _bucket_sorted(rows, key_cols, prehashed=prehashed).map_batches(
         pairs_block, batch_format="pyarrow", batch_size=None
     )
 
@@ -482,6 +489,7 @@ def ngram_jaccard_pairs(
         ["sh"],
         max_bucket,
         drop_report.handle if drop_report else None,
+        prehashed=True,  # sh IS the bucket identity (poly-hash int64 view)
     )
     # co-occurrence count per pair = |A∩B|: hash-sorted whole-partition
     # run counts (a pair repeats once per shared shingle, possibly from
@@ -629,22 +637,24 @@ def minhash_lsh_pairs(
         ).astype(np.uint64, copy=False)
         doc = batch.column("doc_id").to_numpy()
         if sigs.size == 0:
-            return pa.table({"band": pa.array([], type=pa.int32()),
-                             "bucket": pa.array([], type=pa.int64()),
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
                              "doc_id": pa.array([], type=pa.int64())})
-        out_band = np.repeat(np.arange(bands, dtype=np.int32), doc.size)
         out_doc = np.tile(doc, bands)
         buckets = np.empty(bands * doc.size, dtype=np.uint64)
         for bi in range(bands):
             seg = sigs[:, bi * rows_per_band : (bi + 1) * rows_per_band]
-            # mix the band rows into one bucket key (vectorized FNV-ish)
-            acc = np.zeros(doc.size, dtype=np.uint64)
+            # mix the band rows into one bucket key (vectorized
+            # FNV-ish), SEEDED with the band index — the hash itself
+            # carries band identity, so the exchange ships one 8 B key
+            # instead of (band, bucket, bkey); cross-band 64-bit
+            # collisions only ADD candidates (verified downstream) at
+            # ~2^-64 probability
+            acc = np.full(doc.size, np.uint64(bi + 1), dtype=np.uint64)
             for c in range(seg.shape[1]):
                 acc = acc * np.uint64(1099511628211) + seg[:, c]
             buckets[bi * doc.size : (bi + 1) * doc.size] = acc
         return pa.table(
             {
-                "band": pa.array(out_band),
                 # int64 view (bijective): see _shingle_rows
                 "bucket": pa.array(buckets.view(np.int64), type=pa.int64()),
                 "doc_id": pa.array(out_doc, type=pa.int64()),
@@ -654,9 +664,10 @@ def minhash_lsh_pairs(
     cands = _distinct_pairs(
         bucket_pairs(
             sig.map_batches(band_rows, batch_format="pyarrow"),
-            ["band", "bucket"],
+            ["bucket"],
             max_bucket,
             drop_report.handle if drop_report else None,
+            prehashed=True,
         )
     )
     cands = cands.materialize()
@@ -760,12 +771,22 @@ def simhash_pairs(
         bandv = np.stack(
             [(sh >> np.uint64(16 * i)) & np.uint64(0xFFFF) for i in range(4)], axis=1
         )
+        # one prehashed bucket key = uniform hash of (band, 16-bit
+        # value): the exchange ships (doc, sim, key) instead of
+        # (doc, sim, band, bucket, bkey).  A cross-(band,value) 64-bit
+        # collision merely merges two candidate buckets — the exact
+        # Hamming filter downstream rejects any false pair.
+        mix = (
+            np.repeat(np.arange(4, dtype=np.uint64), doc.size).reshape(4, -1).T
+            * np.uint64(1 << 16)
+            + bandv
+        ).ravel()
+        key = pd.util.hash_array(mix, categorize=False)
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(doc, 4), type=pa.int64()),
                 "sim": pa.array(np.repeat(sh, 4), type=pa.uint64()),
-                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), doc.size)),
-                "bucket": pa.array(bandv.ravel(), type=pa.uint64()),
+                "bucket": pa.array(key.view(np.int64), type=pa.int64()),
             }
         )
 
@@ -780,7 +801,7 @@ def simhash_pairs(
         then ONE vectorized popcount over every candidate pair."""
         if tbl.num_rows == 0:
             return _empty
-        order, starts, ends = _bucket_runs(tbl, ["band", "bucket"])
+        order, starts, ends = _bucket_runs(tbl, ["bucket"])
         doc = tbl.column("doc_id").to_numpy()[order]
         sim = tbl.column("sim").to_numpy()[order]
         n = doc.size
@@ -826,7 +847,8 @@ def simhash_pairs(
         _distinct_pairs(
             _bucket_sorted(
                 ds.map_batches(sim_rows, batch_format="pyarrow"),
-                ["band", "bucket"],
+                ["bucket"],
+                prehashed=True,
             ).map_batches(sim_pairs_block, batch_format="pyarrow", batch_size=None),
             keep="hamming",
         ),

@@ -402,20 +402,26 @@ class HyperplaneSigner:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy()
         if ids.size == 0:
-            return pa.table({"band": pa.array([], type=pa.int32()),
-                             "bucket": pa.array([], type=pa.uint64()),
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
                              "doc_id": pa.array([], type=pa.int64())})
         bits = (_batch_matrix(batch, self.vec_col) @ self.h) >= 0.0
         # pack each band's bits into one integer bucket key
         weights = (1 << np.arange(self.bits, dtype=np.uint64))
         per_band = bits.reshape(ids.size, self.bands, self.bits).astype(np.uint64)
         buckets = (per_band * weights[None, None, :]).sum(axis=2)  # (n, bands)
+        # fold the band index into one prehashed uniform key (the
+        # simhash/minhash exchange shape): ship (bucket, doc_id) only;
+        # a cross-band 64-bit collision just merges candidate buckets
+        # and the exact-cosine verify rejects any false pair
+        mix = (
+            buckets
+            + np.arange(self.bands, dtype=np.uint64)[None, :]
+            * np.uint64(1 << self.bits)
+        ).reshape(-1)
+        key = pd.util.hash_array(mix, categorize=False)
         return pa.table(
             {
-                "band": pa.array(
-                    np.tile(np.arange(self.bands, dtype=np.int32), ids.size)
-                ),
-                "bucket": pa.array(buckets.reshape(-1)),
+                "bucket": pa.array(key.view(np.int64), type=pa.int64()),
                 "doc_id": pa.array(np.repeat(ids, self.bands), type=pa.int64()),
             }
         )
@@ -471,8 +477,9 @@ def hyperplane_lsh_pairs(
     )
     cands = _distinct_pairs(
         bucket_pairs(
-            rows, ["band", "bucket"], max_bucket,
+            rows, ["bucket"], max_bucket,
             drop_report.handle if drop_report else None,
+            prehashed=True,
         )
     ).materialize()
     if cands.count() == 0:

@@ -724,6 +724,8 @@ def minhash_lsh_pairs(
 
 # -- SimHash -----------------------------------------------------------
 
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
 def simhash64_batch(texts: list[str]) -> np.ndarray:
     """Occurrence-weighted 64-bit simhash per text, batched: ONE md5
     pass over the flat token stream (per-token md5 is pinned by the
@@ -736,7 +738,12 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
     out = np.zeros(m, dtype=np.uint64)
     if not flat:
         return out
-    h = md5_u64(flat)
+    # md5 once per DISTINCT token (Zipf streams repeat heavily: a 200k-
+    # token batch over a ~24k vocab pays ~8x fewer hashlib calls); the
+    # md5 bit pattern itself stays pinned by the DuckDB oracle.
+    # factorize = hash-table dedup, not np.unique's object argsort
+    inv, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+    h = md5_u64(list(uniq))[inv]
     off = np.concatenate(([0], np.cumsum(lens)))
     nz = np.flatnonzero(lens > 0)
     starts = off[nz]
@@ -831,9 +838,10 @@ def simhash_pairs(
         ib = np.concatenate(idx_b)
         a, b = doc2[ia], doc2[ib]
         x = sim2[ia] ^ sim2[ib]
-        ham = np.zeros(x.size, dtype=np.int64)
-        for i in range(64):
-            ham += ((x >> np.uint64(i)) & np.uint64(1)).astype(np.int64)
+        # byte-LUT popcount: 8 gathers instead of 64 shift/mask passes
+        ham = (
+            _POPCOUNT8[x.view(np.uint8)].reshape(-1, 8).sum(axis=1).astype(np.int64)
+        )
         keep = ham <= hamming_max
         return pa.table(
             {

@@ -45,6 +45,50 @@ def _join_partitions() -> int:
     return max(2, cpus)
 
 
+_SEMI_JOIN_MAX_PAIRS = 20_000_000
+
+
+def _semi_join_filter(
+    corpus: rd.Dataset, pairs: rd.Dataset, id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Shrink the corpus side of a pairs⋈corpus verify join to only the
+    docs that actually appear in a candidate pair: collect the distinct
+    pair ids (O(candidates), which the join must materialize anyway),
+    broadcast the sorted array once via ``ray.put``, and filter with a
+    searchsorted membership test inside ``map_batches``.  Near-dup
+    candidates are a vanishing fraction of a clean corpus, so this cuts
+    the join's shuffled text volume by orders of magnitude.  Beyond
+    ``_SEMI_JOIN_MAX_PAIRS`` candidates the broadcast would be the
+    bottleneck — return the corpus unfiltered and let the hash join do
+    the work."""
+    import ray
+
+    if pairs.count() > _SEMI_JOIN_MAX_PAIRS:
+        return corpus
+    ids = np.unique(
+        np.concatenate(
+            [
+                np.concatenate(
+                    [b.column(c).to_numpy() for c in ("a", "b")]
+                )
+                for b in pairs.iter_batches(batch_format="pyarrow")
+            ]
+            or [np.empty(0, dtype=np.int64)]
+        )
+    )
+    ref = ray.put(ids)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        doc = batch.column(id_col).to_numpy()
+        pos = np.searchsorted(want, doc)
+        pos_c = np.minimum(pos, max(want.size - 1, 0))
+        keep = (pos < want.size) & (want[pos_c] == doc) if want.size else np.zeros(doc.size, bool)
+        return batch.filter(pa.array(keep))
+
+    return corpus.map_batches(flt, batch_format="pyarrow")
+
+
 def _stabilize(ds: rd.Dataset) -> rd.Dataset:
     """groupby().aggregate() can emit schema-less EMPTY blocks that the
     hash join's Arrow kernel rejects; map_batches is skipped on empty
@@ -509,6 +553,7 @@ def ngram_jaccard_pairs(
 
         return f
 
+    sizes = _semi_join_filter(sizes, inter)
     p = _join_partitions()
     joined = inter.join(
         sizes.map_batches(rename("a", "na"), batch_format="pyarrow"),
@@ -683,7 +728,7 @@ def minhash_lsh_pairs(
     # exact-Jaccard verify stays distributed: hash-join each pair side
     # back to the corpus text (candidate pairs ≪ corpus; no driver-side
     # text table, no full-corpus broadcast)
-    corpus = ds.select_columns(["doc_id", "text"])
+    corpus = _semi_join_filter(ds.select_columns(["doc_id", "text"]), cands)
 
     def rename(key: str, val: str):
         def f(b: pa.Table) -> pa.Table:
@@ -701,21 +746,36 @@ def minhash_lsh_pairs(
     )
 
     def verify_pairs(b: pa.Table) -> pa.Table:
-        out = []
-        for a, bb, ta, tb in zip(
-            b.column("a").to_pylist(), b.column("b").to_pylist(),
-            b.column("text_a").to_pylist(), b.column("text_b").to_pylist(),
-        ):
-            sa, sb = shingles(ta, shingle_n), shingles(tb, shingle_n)
-            u = len(sa | sb)
-            j = (len(sa & sb) / u) if u else 1.0
-            if j >= threshold:
-                out.append((a, bb, j))
+        """Exact-Jaccard filter, one shingle pass per DISTINCT text in
+        the batch (heavy near-dup clusters repeat the same text across
+        many pairs), set ops as sorted-unique uint64 intersections —
+        no per-pair Python string sets.  Hash-set Jaccard ≡ string-set
+        Jaccard up to 64-bit collisions (the ngram path's oracle-pinned
+        semantics)."""
+        m = b.num_rows
+        if m == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "jaccard": pa.array([], type=pa.float64())})
+        ta = b.column("text_a").to_pylist()
+        tb = b.column("text_b").to_pylist()
+        inv, uniq = pd.factorize(np.asarray(ta + tb, dtype=object), sort=False)
+        _, hh, n_sh = shingle_hashes(list(uniq), shingle_n)
+        off = np.concatenate(([0], np.cumsum(n_sh)))
+        ia, ib = inv[:m], inv[m:]
+        jac = np.empty(m, dtype=np.float64)
+        for i in range(m):
+            A = hh[off[ia[i]] : off[ia[i] + 1]]
+            B = hh[off[ib[i]] : off[ib[i] + 1]]
+            inter = np.intersect1d(A, B, assume_unique=True).size
+            u = A.size + B.size - inter
+            jac[i] = (inter / u) if u else 1.0
+        keep = jac >= threshold
         return pa.table(
             {
-                "a": pa.array([x[0] for x in out], type=pa.int64()),
-                "b": pa.array([x[1] for x in out], type=pa.int64()),
-                "jaccard": pa.array([x[2] for x in out], type=pa.float64()),
+                "a": pa.array(b.column("a").to_numpy()[keep], type=pa.int64()),
+                "b": pa.array(b.column("b").to_numpy()[keep], type=pa.int64()),
+                "jaccard": pa.array(jac[keep], type=pa.float64()),
             }
         )
 

@@ -491,7 +491,10 @@ def hyperplane_lsh_pairs(
     # back to its embedding (candidates ≪ corpus; no driver-side table).
     # The Arrow hash join rejects list<float> payload columns, so each
     # side ships its vector as fixed-width float64 bytes instead.
-    emb = ds.select_columns([id_col, vec_col])
+    # Semi-join first: only candidate docs' vectors enter the joins.
+    from .dedup import _semi_join_filter
+
+    emb = _semi_join_filter(ds.select_columns([id_col, vec_col]), cands, id_col)
 
     def rename(key: str, val: str):
         def f(b: pa.Table) -> pa.Table:

@@ -491,29 +491,39 @@ def hyperplane_lsh_pairs(
     # back to its embedding (candidates ≪ corpus; no driver-side table).
     # The Arrow hash join rejects list<float> payload columns, so each
     # side ships its vector as fixed-width float64 bytes instead.
-    # Semi-join first: only candidate docs' vectors enter the joins.
-    from .dedup import _semi_join_filter
+    # Semi-join first: only candidate docs' vectors are considered, and
+    # when that set is small enough (the common clean-corpus case) both
+    # sides attach via ONE broadcast lookup instead of two hash joins.
+    from .dedup import _broadcast_attach, _semi_join_filter
 
-    emb = _semi_join_filter(ds.select_columns([id_col, vec_col]), cands, id_col)
+    def pack(b: pa.Table) -> pa.Table:
+        m = np.ascontiguousarray(_batch_matrix(b, vec_col))
+        packed = pa.Array.from_buffers(
+            pa.binary(dim * 8), b.num_rows, [None, pa.py_buffer(m.tobytes())]
+        )
+        return pa.table({id_col: b.column(id_col), "embp": packed})
 
-    def rename(key: str, val: str):
-        def f(b: pa.Table) -> pa.Table:
-            m = np.ascontiguousarray(_batch_matrix(b, vec_col))
-            packed = pa.Array.from_buffers(
-                pa.binary(dim * 8), b.num_rows, [None, pa.py_buffer(m.tobytes())]
-            )
-            return pa.table({key: b.column(id_col), val: packed})
+    emb = _semi_join_filter(
+        ds.select_columns([id_col, vec_col]), cands, id_col
+    ).map_batches(pack, batch_format="pyarrow")
 
-        return f
+    joined = _broadcast_attach(cands, emb, "embp", "emb_a", "emb_b", id_col=id_col)
+    if joined is None:  # candidate set too large to broadcast: hash joins
 
-    p = _join_partitions()
-    joined = cands.join(
-        emb.map_batches(rename("a", "emb_a"), batch_format="pyarrow"),
-        join_type="inner", num_partitions=p, on=("a",),
-    ).join(
-        emb.map_batches(rename("b", "emb_b"), batch_format="pyarrow"),
-        join_type="inner", num_partitions=p, on=("b",),
-    )
+        def rename(key: str, val: str):
+            def f(b: pa.Table) -> pa.Table:
+                return pa.table({key: b.column(id_col), val: b.column("embp")})
+
+            return f
+
+        p = _join_partitions()
+        joined = cands.join(
+            emb.map_batches(rename("a", "emb_a"), batch_format="pyarrow"),
+            join_type="inner", num_partitions=p, on=("a",),
+        ).join(
+            emb.map_batches(rename("b", "emb_b"), batch_format="pyarrow"),
+            join_type="inner", num_partitions=p, on=("b",),
+        )
 
     def unpack(col: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
         # fixed_size_binary data buffer IS the row-major float64 matrix

@@ -31,6 +31,7 @@ from collections.abc import Iterable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions.tokenizer import TOKEN_RE
@@ -263,6 +264,83 @@ def _tokens(text: str) -> list[str]:
     return TOKEN_RE.findall(text.lower())
 
 
+def _token_codes(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Dictionary-encoded flat token stream for a whole batch:
+    ``(codes, uniq, lens)`` with ``uniq[codes]`` equal to the
+    concatenation of ``_tokens(t)`` over the batch in order and
+    ``lens`` the per-doc token counts.
+
+    Fast path (pure-ASCII batch — the common case at scale): Arrow
+    ``utf8_lower`` → RE2 ``\\W+`` split → length>=2 filter →
+    ``dictionary_encode``, all C kernels.  No per-token Python string
+    is ever built, and downstream hashes touch only the DISTINCT
+    tokens (Zipf streams repeat heavily: ~17× fewer strings on the
+    synthetic corpora).  RE2's ASCII ``\\w`` equals Python's unicode
+    ``\\w`` on ASCII input so the streams are identical there
+    (asserted in tests); a batch containing any non-ASCII string takes
+    the exact Python-re path instead — unicode semantics unchanged."""
+    m = len(texts)
+    if m:
+        arr = pa.array(texts, type=pa.string())
+        if pc.all(pc.equal(pc.binary_length(arr), pc.utf8_length(arr))).as_py():
+            lists = pc.split_pattern_regex(pc.utf8_lower(arr), r"\W+")
+            per_doc = pc.list_value_length(lists).to_numpy()
+            toks = pc.list_flatten(lists)
+            keep = pc.greater_equal(pc.binary_length(toks), 2)
+            doc_of = np.repeat(np.arange(m, dtype=np.int64), per_doc)[
+                keep.to_numpy(zero_copy_only=False)
+            ]
+            toks = toks.filter(keep)
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            dct = toks.dictionary_encode()
+            codes = dct.indices.to_numpy().astype(np.int64, copy=False)
+            uniq = np.asarray(dct.dictionary.to_pylist(), dtype=object)
+            lens = np.bincount(doc_of, minlength=m).astype(np.int64)
+            return codes, uniq, lens
+    tok_lists = [_tokens(t) for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=m)
+    flat = [w for ts in tok_lists for w in ts]
+    if not flat:
+        return np.empty(0, np.int64), np.empty(0, object), lens
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+    return codes.astype(np.int64, copy=False), np.asarray(uniq, dtype=object), lens
+
+
+class _Md5Cache:
+    """Cross-batch token→``md5_u64`` cache for actor-pool signer stages.
+
+    The md5 bit pattern is pinned by the bit-replicating DuckDB oracle
+    (simhash), so the hash itself cannot be swapped for a vectorizable
+    family — but token streams are Zipfian, so caching distinct-token
+    hashes across batches drops hashlib calls to near zero after the
+    first few batches.  One vectorized ``get_indexer`` probe per batch;
+    hashlib only on misses; append-only (misses are by construction not
+    in the index, keeping it unique) with a size cap."""
+
+    def __init__(self, max_size: int = 2_000_000):
+        self._idx = pd.Index([], dtype=object)
+        self._h = np.empty(0, dtype=np.uint64)
+        self._max = max_size
+
+    def lookup(self, uniq: np.ndarray) -> np.ndarray:
+        if not len(self._idx):
+            pos = np.full(len(uniq), -1, dtype=np.int64)
+        else:
+            pos = self._idx.get_indexer(uniq)
+        out = np.empty(len(uniq), dtype=np.uint64)
+        hit = pos >= 0
+        out[hit] = self._h[pos[hit]]
+        miss = ~hit
+        if miss.any():
+            mh = md5_u64(list(uniq[miss]))
+            out[miss] = mh
+            if len(self._idx) + int(miss.sum()) <= self._max:
+                self._idx = self._idx.append(pd.Index(uniq[miss]))
+                self._h = np.concatenate([self._h, mh])
+        return out
+
+
 def shingles(text: str, n: int = 3) -> set[str]:
     t = _tokens(text)
     if len(t) < n:
@@ -285,11 +363,11 @@ def shingle_hashes(
     shingle hash) rows plus the per-doc distinct count.  Docs shorter
     than ``n`` tokens contribute one whole-text shingle (matching
     :func:`shingles`); empty docs contribute none."""
-    tok_lists = [_tokens(t) for t in texts]
+    codes, uniq, lens = _token_codes(texts)
     m = len(texts)
-    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=m)
-    flat = [tok for toks in tok_lists for tok in toks]
-    th = fast_hash_u64(flat)
+    # SipHash only the DISTINCT tokens, gather per occurrence — same
+    # values as hashing the flat stream (hash is per string value)
+    th = fast_hash_u64(uniq)[codes] if codes.size else np.empty(0, np.uint64)
     wc = np.where(lens >= n, lens - n + 1, (lens > 0).astype(np.int64))
     off = np.concatenate(([0], np.cumsum(lens)))
     woff = np.concatenate(([0], np.cumsum(wc)))
@@ -846,24 +924,21 @@ def minhash_lsh_pairs(
 
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
-def simhash64_batch(texts: list[str]) -> np.ndarray:
+def simhash64_batch(texts: list[str], cache: _Md5Cache | None = None) -> np.ndarray:
     """Occurrence-weighted 64-bit simhash per text, batched: ONE md5
-    pass over the flat token stream (per-token md5 is pinned by the
-    bit-replicating DuckDB oracle), then one segmented reduceat per bit
-    plane — no per-doc (tokens × 64) matrix, no per-doc Python loop."""
-    tok_lists = [_tokens(t) for t in texts]
+    pass over the DISTINCT tokens of the dictionary-encoded flat token
+    stream (the md5 bit pattern is pinned by the bit-replicating DuckDB
+    oracle; ``cache`` — held per actor by :class:`SimhashSigner` —
+    carries distinct-token hashes across batches), then one segmented
+    reduceat per bit plane — no per-doc (tokens × 64) matrix, no
+    per-doc Python loop."""
+    codes, uniq, lens = _token_codes(texts)
     m = len(texts)
-    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=m)
-    flat = [w for ts in tok_lists for w in ts]
     out = np.zeros(m, dtype=np.uint64)
-    if not flat:
+    if not codes.size:
         return out
-    # md5 once per DISTINCT token (Zipf streams repeat heavily: a 200k-
-    # token batch over a ~24k vocab pays ~8x fewer hashlib calls); the
-    # md5 bit pattern itself stays pinned by the DuckDB oracle.
-    # factorize = hash-table dedup, not np.unique's object argsort
-    inv, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
-    h = md5_u64(list(uniq))[inv]
+    hu = cache.lookup(uniq) if cache is not None else md5_u64(list(uniq))
+    h = hu[codes]
     off = np.concatenate(([0], np.cumsum(lens)))
     nz = np.flatnonzero(lens > 0)
     starts = off[nz]
@@ -880,21 +955,20 @@ def simhash64(text: str) -> int:
     return int(simhash64_batch([text])[0])
 
 
-def simhash_pairs(
-    ds: rd.Dataset,
-    hamming_max: int = 3,
-    max_bucket: int = 512,
-    drop_report: DropReport | None = None,
-) -> rd.Dataset:
-    """Near-dup pairs with simhash Hamming distance <= hamming_max,
-    blocked on 4 16-bit bands (any pair within distance 3 shares at
-    least one exact band — pigeonhole).  ``drop_report`` surfaces
-    over-cap buckets (no silent caps)."""
-    drop_handle = drop_report.handle if drop_report else None
+class SimhashSigner:
+    """Actor-pool signer stage: text → 4 (band-key, simhash) rows.
 
-    def sim_rows(batch: pa.Table) -> pa.Table:
+    A class (not a plain fn) so the distinct-token md5 cache persists
+    across batches — once per actor in ``__init__``, reused every
+    ``__call__`` (hashlib calls drop to near zero after the first few
+    batches on a Zipf vocabulary)."""
+
+    def __init__(self) -> None:
+        self._cache = _Md5Cache()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         doc = batch.column("doc_id").to_numpy()
-        sh = simhash64_batch(batch.column("text").to_pylist())
+        sh = simhash64_batch(batch.column("text").to_pylist(), self._cache)
         bandv = np.stack(
             [(sh >> np.uint64(16 * i)) & np.uint64(0xFFFF) for i in range(4)], axis=1
         )
@@ -916,6 +990,19 @@ def simhash_pairs(
                 "bucket": pa.array(key.view(np.int64), type=pa.int64()),
             }
         )
+
+
+def simhash_pairs(
+    ds: rd.Dataset,
+    hamming_max: int = 3,
+    max_bucket: int = 512,
+    drop_report: DropReport | None = None,
+) -> rd.Dataset:
+    """Near-dup pairs with simhash Hamming distance <= hamming_max,
+    blocked on 4 16-bit bands (any pair within distance 3 shares at
+    least one exact band — pigeonhole).  ``drop_report`` surfaces
+    over-cap buckets (no silent caps)."""
+    drop_handle = drop_report.handle if drop_report else None
 
     _empty = pa.table({"a": pa.array([], type=pa.int64()),
                        "b": pa.array([], type=pa.int64()),
@@ -974,7 +1061,12 @@ def simhash_pairs(
     return _nonempty_or(
         _distinct_pairs(
             _bucket_sorted(
-                ds.map_batches(sim_rows, batch_format="pyarrow"),
+                ds.map_batches(
+                    SimhashSigner,
+                    batch_format="pyarrow",
+                    batch_size=4096,
+                    concurrency=_stage_pool(),
+                ),
                 ["bucket"],
                 prehashed=True,
             ).map_batches(sim_pairs_block, batch_format="pyarrow", batch_size=None),

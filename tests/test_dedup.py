@@ -144,3 +144,50 @@ def test_drop_report_counts_overcap_buckets(ray_session):
         drop_report=rep2,
     ).to_pandas()
     assert rep2.get()["dropped_buckets"] >= 1
+
+
+def test_token_codes_fast_path_matches_python_re():
+    """The Arrow RE2 fast path must produce the exact token stream of
+    the Python-re reference (_tokens) on ASCII, and any non-ASCII
+    string in the batch must route the whole batch to the Python path
+    (unicode \\w semantics differ between RE2 and Python re)."""
+    import numpy as np
+
+    from bm25_benchmarks_ray.pipelines.dedup import (
+        _Md5Cache,
+        _token_codes,
+        _tokens,
+        md5_u64,
+        simhash64_batch,
+    )
+
+    ascii_texts = [
+        "The QUICK brown-fox_jumps 0ver 42 lazy dogs!!",
+        "",
+        "a",  # single 1-char token -> no tokens
+        "x  y_z\t9 odd-ch!ars (parens) [brackets]",
+        "repeat repeat repeat the the the",
+    ]
+    codes, uniq, lens = _token_codes(ascii_texts)
+    flat_ref = [t for s in ascii_texts for t in _tokens(s)]
+    lens_ref = [len(_tokens(s)) for s in ascii_texts]
+    assert list(uniq[codes]) == flat_ref
+    assert list(lens) == lens_ref
+
+    # non-ASCII batch: falls back, still exact vs _tokens
+    uni_texts = ascii_texts + ["café au lait naïve café", "日本語 テスト ascii mixed"]
+    codes2, uniq2, lens2 = _token_codes(uni_texts)
+    flat2 = [t for s in uni_texts for t in _tokens(s)]
+    assert list(uniq2[codes2]) == flat2
+    assert list(lens2) == [len(_tokens(s)) for s in uni_texts]
+
+    # md5 cache: identical hashes to direct md5, across repeated lookups
+    c = _Md5Cache()
+    h1 = c.lookup(uniq)
+    assert (h1 == md5_u64(list(uniq))).all()
+    h2 = c.lookup(uniq)  # all-hit path
+    assert (h2 == h1).all()
+    assert (simhash64_batch(ascii_texts, c) == simhash64_batch(ascii_texts)).all()
+    # mixed hit/miss probe
+    mixed = np.concatenate([uniq[:2], np.array(["zzunseen1", "zzunseen2"], dtype=object)])
+    assert (c.lookup(mixed) == md5_u64(list(mixed))).all()

@@ -152,3 +152,101 @@ def tokenize_texts(
         tokenize_text(t, stopwords=stopwords, stemmer=stemmer, lower=lower)
         for t in texts
     ]
+
+
+def dict_token_stream(texts_col, lower: bool = True, fast_ok: bool = True,
+                      py_split: Callable[[str], list[str]] | None = None):
+    """Dictionary-encoded raw token stream for a whole batch of texts:
+    ``(codes, uniq, doc_of, lens)`` where ``uniq[codes]`` is the flat
+    (lowercased, length>=2) token stream in doc-major order (within-doc
+    occurrence order preserved), ``doc_of`` the batch-local doc index
+    per occurrence and ``lens`` the per-doc token count.  Stopword
+    filtering / stemming are NOT applied — callers post-process the
+    small ``uniq`` side (stem-unique-once taken to its limit).
+
+    ASCII rows take the Arrow fast path — ``utf8_lower`` → RE2 ``\\W+``
+    split → length>=2 filter → ``dictionary_encode``, all C kernels, no
+    per-token Python string (RE2's ASCII ``\\w`` equals Python's
+    unicode ``\\w`` on ASCII input, so the streams are identical
+    there).  Rows containing non-ASCII characters run the exact
+    Python ``TOKEN_RE`` path per doc, and the two streams merge under
+    one dictionary — mixed batches keep full semantics while paying
+    Python cost only for the non-ASCII fraction.  ``fast_ok=False``
+    (custom splitter) routes every row through ``py_split``.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts_col, list):
+        texts_col = pa.array(texts_col, type=pa.string())
+    if isinstance(texts_col, pa.ChunkedArray):
+        texts_col = texts_col.combine_chunks()
+    lowered = pc.utf8_lower(texts_col) if lower else texts_col
+    m = len(lowered)
+    split = py_split if py_split is not None else TOKEN_RE.findall
+
+    def py_stream(strings: list[str]):
+        lens = np.empty(len(strings), dtype=np.int64)
+        flat: list[str] = []
+        for i, s in enumerate(strings):
+            toks = split(s)
+            lens[i] = len(toks)
+            flat.extend(toks)
+        return flat, lens
+
+    a_idx = np.empty(0, dtype=np.int64)
+    if fast_ok and m:
+        ascii_mask = pc.equal(
+            pc.binary_length(lowered), pc.utf8_length(lowered)
+        ).to_numpy(zero_copy_only=False)
+        a_idx = np.flatnonzero(ascii_mask)
+    if a_idx.size:
+        sub = lowered.take(pa.array(a_idx)) if a_idx.size < m else lowered
+        lists = pc.split_pattern_regex(sub, r"\W+")
+        per_doc = pc.list_value_length(lists).to_numpy()
+        toks = pc.list_flatten(lists)
+        keep = pc.greater_equal(pc.binary_length(toks), 2)
+        doc_of_a = np.repeat(np.arange(a_idx.size, dtype=np.int64), per_doc)[
+            keep.to_numpy(zero_copy_only=False)
+        ]
+        toks = toks.filter(keep)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        dct = toks.dictionary_encode()
+        codes_a = dct.indices.to_numpy().astype(np.int64, copy=False)
+        uniq_a = np.asarray(dct.dictionary.to_pylist(), dtype=object)
+        if a_idx.size == m:  # pure-ASCII batch: done
+            lens = np.bincount(doc_of_a, minlength=m).astype(np.int64)
+            return codes_a, uniq_a, doc_of_a, lens
+        # mixed batch: python-re the non-ASCII rows, merge dictionaries
+        b_idx = np.flatnonzero(~ascii_mask)
+        flat_b, lens_b = py_stream(
+            lowered.take(pa.array(b_idx)).to_pylist()
+        )
+        fb = np.asarray(flat_b, dtype=object)
+        f_codes, f_uniq = pd.factorize(
+            np.concatenate([uniq_a, fb]), sort=False
+        )
+        codes = np.concatenate([f_codes[: uniq_a.size][codes_a],
+                                f_codes[uniq_a.size :]])
+        doc_of = np.concatenate([a_idx[doc_of_a], np.repeat(b_idx, lens_b)])
+        # doc-major order (stable: within-doc order kept per side; every
+        # doc lives wholly on one side)
+        order = np.argsort(doc_of, kind="stable")
+        codes, doc_of = codes[order], doc_of[order]
+        lens = np.bincount(doc_of, minlength=m).astype(np.int64)
+        return codes, np.asarray(f_uniq, dtype=object), doc_of, lens
+    # all-python path (custom splitter / non-ASCII-only / empty batch)
+    flat, lens = py_stream(lowered.to_pylist())
+    doc_of = np.repeat(np.arange(m, dtype=np.int64), lens)
+    if not flat:
+        return np.empty(0, np.int64), np.empty(0, dtype=object), doc_of, lens
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+    return (
+        codes.astype(np.int64, copy=False),
+        np.asarray(uniq, dtype=object),
+        doc_of,
+        lens,
+    )

@@ -277,34 +277,13 @@ def _token_codes(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     tokens (Zipf streams repeat heavily: ~17× fewer strings on the
     synthetic corpora).  RE2's ASCII ``\\w`` equals Python's unicode
     ``\\w`` on ASCII input so the streams are identical there
-    (asserted in tests); a batch containing any non-ASCII string takes
-    the exact Python-re path instead — unicode semantics unchanged."""
-    m = len(texts)
-    if m:
-        arr = pa.array(texts, type=pa.string())
-        if pc.all(pc.equal(pc.binary_length(arr), pc.utf8_length(arr))).as_py():
-            lists = pc.split_pattern_regex(pc.utf8_lower(arr), r"\W+")
-            per_doc = pc.list_value_length(lists).to_numpy()
-            toks = pc.list_flatten(lists)
-            keep = pc.greater_equal(pc.binary_length(toks), 2)
-            doc_of = np.repeat(np.arange(m, dtype=np.int64), per_doc)[
-                keep.to_numpy(zero_copy_only=False)
-            ]
-            toks = toks.filter(keep)
-            if isinstance(toks, pa.ChunkedArray):
-                toks = toks.combine_chunks()
-            dct = toks.dictionary_encode()
-            codes = dct.indices.to_numpy().astype(np.int64, copy=False)
-            uniq = np.asarray(dct.dictionary.to_pylist(), dtype=object)
-            lens = np.bincount(doc_of, minlength=m).astype(np.int64)
-            return codes, uniq, lens
-    tok_lists = [_tokens(t) for t in texts]
-    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=m)
-    flat = [w for ts in tok_lists for w in ts]
-    if not flat:
-        return np.empty(0, np.int64), np.empty(0, object), lens
-    codes, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
-    return codes.astype(np.int64, copy=False), np.asarray(uniq, dtype=object), lens
+    (asserted in tests); non-ASCII rows take the exact Python-re path
+    per doc and merge under the same dictionary — unicode semantics
+    unchanged (see :func:`..functions.tokenizer.dict_token_stream`)."""
+    from ..functions.tokenizer import dict_token_stream
+
+    codes, uniq, _, lens = dict_token_stream(texts, lower=True)
+    return codes, uniq, lens
 
 
 class _Md5Cache:

@@ -14,9 +14,8 @@ Two output shapes:
 
 from __future__ import annotations
 
-from collections import Counter
-
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -48,47 +47,93 @@ class TokenizePostings:
         self.stemmer = resolve_stemmer(config.stemmer)
         self.lower = config.lower
         self.salt_range = config.salt_range
+        # Arrow fast path applies only under the default regex splitter
+        # (RE2 split ≡ Python (?u)\b\w\w+\b on ASCII input)
+        self.fast_splitter = getattr(config, "splitter", "regex") in (None, "regex")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts_col = batch.column("text")
-        if self.lower:
-            texts_col = pc.utf8_lower(texts_col)  # vectorized Arrow kernel
-        texts = texts_col.to_pylist()
         doc_ids = batch.column("doc_id").to_numpy()
-
-        findall = self.findall
-        stopwords = self.stopwords
-        stemmer = self.stemmer
-
-        terms: list[str] = []
-        tfs: list[int] = []
-        out_doc: list[int] = []
-        dls: list[int] = []
-        for i, text in enumerate(texts):
-            toks = findall(text)
-            if stopwords:
-                toks = [t for t in toks if t not in stopwords]
-            if stemmer is not None:
-                toks = [stemmer(t) for t in toks]
-            dl = len(toks)
-            counts = Counter(toks)
-            d = int(doc_ids[i])
-            terms.extend(counts.keys())
-            tfs.extend(counts.values())
-            out_doc.extend([d] * len(counts))
-            dls.extend([dl] * len(counts))
-
-        doc_arr = np.asarray(out_doc, dtype=np.int64)
+        codes, uniq, doc_of, doc_lens = _token_quad(batch.column("text"), self)
+        # one row per (doc, distinct term): sort occurrences by
+        # (doc, term); equal runs are contiguous → tf = run length
+        order = np.lexsort((codes, doc_of))
+        c0, d0 = codes[order], doc_of[order]
+        if c0.size:
+            new_run = np.concatenate(
+                ([True], (c0[1:] != c0[:-1]) | (d0[1:] != d0[:-1]))
+            )
+            starts = np.flatnonzero(new_run)
+            ends = np.concatenate((starts[1:], [c0.size]))
+            tf = (ends - starts).astype(np.int32)
+            di = d0[starts]
+            doc_arr = doc_ids[di]
+            dls = doc_lens[di].astype(np.int32)
+            terms = uniq[c0[starts]]
+        else:
+            tf = np.empty(0, dtype=np.int32)
+            doc_arr = np.empty(0, dtype=np.int64)
+            dls = np.empty(0, dtype=np.int32)
+            terms = np.empty(0, dtype=object)
         return pa.table(
             {
                 "term": pa.array(terms, type=pa.string()),
                 "doc_id": pa.array(doc_arr, type=pa.int64()),
-                "tf": pa.array(np.asarray(tfs, dtype=np.int32)),
-                "dl": pa.array(np.asarray(dls, dtype=np.int32)),
+                "tf": pa.array(tf),
+                "dl": pa.array(dls),
                 "salt": pa.array((doc_arr // self.salt_range).astype(np.int32)),
             },
             schema=POSTINGS_SCHEMA,
         )
+
+
+def _token_quad(
+    texts_col, inner: TokenizePostings
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Dictionary-encoded, stopword-filtered, stemmed token stream for
+    a whole batch: ``(codes, uniq, doc_of, doc_lens)`` where
+    ``uniq[codes]`` is the flat final-term stream (doc-major, within-doc
+    occurrence order preserved), ``doc_of`` the batch-local doc index
+    per occurrence, and ``doc_lens`` the per-doc surviving token count
+    (the reference's ``dl``).
+
+    The raw stream comes from :func:`dict_token_stream` (Arrow C
+    kernels for ASCII rows, exact Python-re for the rest, one unified
+    dictionary); stopword membership and stemming then run over the
+    DISTINCT tokens only — the reference's stem-unique-once economy
+    (/root/reference/utils/__init__.py:104-126) taken further: the flat
+    stream never materializes per-token Python objects.  Equality with
+    the per-token reference pipeline is asserted in
+    tests/test_tokenize_stage.py."""
+    from ..functions.tokenizer import dict_token_stream
+
+    codes, uniq0, doc_of, _ = dict_token_stream(
+        texts_col, inner.lower, inner.fast_splitter, inner.findall
+    )
+    m = len(texts_col)
+    stopwords, stemmer = inner.stopwords, inner.stemmer
+    sw = (
+        np.fromiter((u in stopwords for u in uniq0), bool, len(uniq0))
+        if stopwords
+        else np.zeros(len(uniq0), dtype=bool)
+    )
+    kept = ~sw
+    sub = uniq0[kept]
+    if stemmer is not None:
+        sub = np.asarray([stemmer(u) for u in sub], dtype=object)
+    # merge raw tokens stemming to the same term (small-side factorize:
+    # distinct tokens only, never the flat stream)
+    f_codes, f_uniq = (
+        pd.factorize(sub, sort=False) if sub.size else (np.empty(0, np.int64), [])
+    )
+    if sw.any():
+        occ_keep = kept[codes]
+        codes = codes[occ_keep]
+        doc_of = doc_of[occ_keep]
+    remap = np.full(len(uniq0), -1, dtype=np.int64)
+    remap[kept] = f_codes
+    codes = remap[codes]
+    doc_lens = np.bincount(doc_of, minlength=m).astype(np.int64)
+    return codes, np.asarray(f_uniq, dtype=object), doc_of, doc_lens
 
 
 class TokenizeRuns:
@@ -122,38 +167,19 @@ class TokenizeRuns:
         self.seen: set[str] = set()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         from ..functions.codec import varint_encode, varint_nbytes
         from .segments import RUN_SCHEMA, term_ids
 
-        # tokenize straight into flat token/doc arrays (no per-doc
-        # Counter: tf counting falls out of the (term, doc) sort below)
-        texts_col = batch.column("text")
+        # tokenize straight into a dictionary-encoded flat stream (no
+        # per-doc Counter: tf counting falls out of the (term, doc)
+        # sort below)
         inner = self.inner
-        if inner.lower:
-            import pyarrow.compute as pc
-
-            texts_col = pc.utf8_lower(texts_col)
-        texts = texts_col.to_pylist()
         batch_doc_ids = batch.column("doc_id").to_numpy()
-        findall = inner.findall
-        stopwords = inner.stopwords
-        stemmer = inner.stemmer
-        all_tokens: list[str] = []
-        doc_lens = np.empty(len(texts), dtype=np.int64)
-        for i, text in enumerate(texts):
-            toks = findall(text)
-            if stopwords:
-                toks = [t for t in toks if t not in stopwords]
-            if stemmer is not None:
-                toks = [stemmer(t) for t in toks]
-            doc_lens[i] = len(toks)
-            all_tokens.extend(toks)
-
-        tok_doc = np.repeat(batch_doc_ids, doc_lens)
-        tok_dl = np.repeat(doc_lens, doc_lens).astype(np.uint64)
-        codes_all, uniq = pd.factorize(pd.Series(all_tokens, dtype=object), sort=False)
+        codes_all, uniq, doc_of, doc_lens = _token_quad(
+            batch.column("text"), inner
+        )
+        tok_doc = batch_doc_ids[doc_of]
+        tok_dl = doc_lens[doc_of].astype(np.uint64)
         # sort token occurrences by (term, doc); equal (term, doc) runs
         # are then contiguous → tf = run length
         order0 = np.lexsort((tok_doc, codes_all))

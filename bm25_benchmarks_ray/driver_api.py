@@ -278,6 +278,21 @@ def q_embed_cosine_topk(sf_dir: str):
     return cosine_topk(ds, _query_vecs(sf_dir), k=10)
 
 
+def q_embed_kmeans(sf_dir: str, k: int = 8, iters: int = 2):
+    """Distributed spherical k-means assignments (vec_id, cluster) —
+    deterministic seeds (k lowest ids), cosine assignment with
+    lower-cluster tie rule, per-dim float64 mean updates; the SQL
+    oracle replicates every step (kmeans_sql)."""
+    import ray.data as rd
+
+    from .pipelines.similarity import embed_kmeans
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return embed_kmeans(ds, k=k, iters=iters)
+
+
 def q_embed_cosine_pairs(sf_dir: str, threshold: float = 0.4):
     import ray.data as rd
 
@@ -660,6 +675,57 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       CAST(b.embedding AS DOUBLE[])) >= 0.4
 """
 
+def kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Exact SQL replica of pipelines.similarity.embed_kmeans: seed
+    centroids = the k lowest-id vectors; each iteration assigns by
+    cosine (ties to the lower cluster id) and updates centroids to the
+    per-dimension mean (empty clusters keep the previous centroid);
+    output = assignment against the final centroids.  Float64 both
+    sides; summation-order noise is ~1e-16, far under the 1e-6 compare
+    tolerance, and exact-tie handling matches numpy argmax (first
+    max = lowest cluster)."""
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v\n"
+        f"  FROM e ORDER BY vec_id LIMIT {k})",
+    ]
+    prev = "init"
+    for i in range(iters):
+        a, mm, cc = f"a{i}", f"m{i}", f"c{i + 1}"
+        parts.append(
+            f"""{a} AS (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, {prev}.c,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, {prev}.v) DESC, {prev}.c) AS rn
+    FROM e CROSS JOIN {prev}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""{mm} AS (
+  SELECT c, pos, avg(val) AS val FROM (
+    SELECT {a}.c AS c, unnest(e.v) AS val,
+           unnest(range(1, len(e.v) + 1)) AS pos
+    FROM {a} JOIN e USING (vec_id)) GROUP BY c, pos)"""
+        )
+        parts.append(
+            f"""{cc} AS (
+  SELECT i.c AS c, coalesce(agg.v, i.v) AS v
+  FROM {prev} i LEFT JOIN (
+    SELECT c, list(val ORDER BY pos) AS v FROM {mm} GROUP BY c) agg
+  ON agg.c = i.c)"""
+        )
+        prev = cc
+    parts.append(
+        f"""af AS (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, {prev}.c,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, {prev}.v) DESC, {prev}.c) AS rn
+    FROM e CROSS JOIN {prev}) WHERE rn = 1)"""
+    )
+    return "WITH " + ",\n".join(parts) + "\nSELECT vec_id, c AS cluster FROM af"
+
+
 LANG_ID_SQL = f"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w\\w+')) AS term
@@ -951,6 +1017,9 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_lsh_pairs": NGRAM_JACCARD_SQL,
     "simhash_pairs": SIMHASH_SQL,
     "winnow_fingerprint": WINNOW_SQL,
+    # k-means: every step deterministic and replicated in SQL (seed
+    # rule, cosine-argmax tie rule, mean update, empty-cluster carry)
+    "embed_kmeans": kmeans_sql(8, 2),
     # embed_ivf_topk runs at FULL probe (nprobe == n_centroids), which
     # is provably exact — the brute-force cosine SQL is its oracle.
     # The approximate regime (nprobe < n_centroids) is covered by
@@ -991,6 +1060,7 @@ def build_queries() -> dict:
             "embed_cosine_topk": q_embed_cosine_topk,
             "embed_cosine_pairs": q_embed_cosine_pairs,
             "embed_lsh_pairs": q_embed_lsh_pairs,
+            "embed_kmeans": q_embed_kmeans,
             "embed_ivf_topk": q_embed_ivf_topk,
             "lang_id": q_lang_id,
             "quality_score": q_quality_score,

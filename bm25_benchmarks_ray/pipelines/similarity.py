@@ -548,3 +548,103 @@ def hyperplane_lsh_pairs(
         )
 
     return joined.map_batches(verify_pairs, batch_format="pyarrow")
+
+
+# -- distributed k-means clustering -------------------------------------
+
+def embed_kmeans(
+    ds: rd.Dataset,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Distributed spherical k-means over an embedding column:
+    ``(vec_id, cluster)`` assignments after ``iters`` Lloyd updates.
+
+    The clustering pass the dedup operators point their over-cap
+    near-duplicate *clusters* at (pipelines/dedup.py skew note), and a
+    principled coarse quantizer for IVF.  Deterministic and
+    SQL-replicable end to end:
+
+    - init: the ``k`` vectors with the smallest ids, cluster = id rank;
+    - assignment: argmax cosine(v, centroid), ties to the lower
+      cluster id (numpy argmax picks the first max — same rule as the
+      oracle's ``ORDER BY sim DESC, c``);
+    - update: per-dimension float64 MEAN of members — no
+      normalization needed, cosine is scale-invariant in the centroid;
+      a cluster losing all members keeps its previous centroid.
+
+    Ray shape (per iteration): centroids broadcast once via
+    ``ray.put``; ONE streaming ``map_batches`` pass emits per-block
+    partial (cluster, count, sum) rows — k rows per block, the
+    map-side combine — and the tiny k×blocks reduce runs driver-side.
+    Nothing driver-side scales with the corpus; the final pass streams
+    assignments back as a Dataset-shaped table."""
+    # deterministic seeds: per-block partial min-k, tiny driver reduce
+    def mink(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        if ids.size > k:
+            sel = np.argpartition(ids, k)[:k]
+            batch = batch.take(pa.array(sel))
+        return batch.select([id_col, vec_col])
+
+    cand = pa.concat_tables(
+        ds.map_batches(mink, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    order = np.argsort(cand.column(id_col).to_numpy(), kind="stable")[:k]
+    cents = _batch_matrix(cand.take(pa.array(order)), vec_col)
+
+    def make_psums(c_ref):
+        def psums(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            m = _batch_matrix(batch, vec_col)
+            a = _cosine_matrix(m, c).argmax(axis=1)
+            sums = np.zeros((c.shape[0], m.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=c.shape[0]).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(
+                        np.arange(c.shape[0], dtype=np.int64)
+                    ),
+                    "count": pa.array(counts),
+                    "sum": pa.array(list(sums)),
+                }
+            )
+
+        return psums
+
+    for _ in range(iters):
+        c_ref = ray.put(cents)
+        parts = pa.concat_tables(
+            ds.map_batches(make_psums(c_ref), batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        cl = parts.column("cluster").to_numpy()
+        cnt = parts.column("count").to_numpy()
+        sm = np.asarray(parts.column("sum").to_pylist(), dtype=np.float64)
+        tot = np.zeros_like(cents)
+        np.add.at(tot, cl, sm)
+        n = np.zeros(cents.shape[0], dtype=np.int64)
+        np.add.at(n, cl, cnt)
+        nz = n > 0
+        cents = np.where(nz[:, None], tot / np.maximum(n, 1)[:, None], cents)
+
+    c_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        m = _batch_matrix(batch, vec_col)
+        a = _cosine_matrix(m, c).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(a, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

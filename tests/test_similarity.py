@@ -159,3 +159,62 @@ def test_hyperplane_lsh_drop_report(embdata):
     assert dropped["dropped_buckets"] > 0
     assert dropped["dropped_docs"] > 0
     assert len(out) == 0 or out["cosine"].min() >= 0.9
+
+
+def test_embed_kmeans_recovers_planted_clusters(ray_session):
+    """Three well-separated planted directions must come out as three
+    pure clusters (k=3), regardless of which seed landed where; the
+    result must be deterministic across runs."""
+    from bm25_benchmarks_ray.pipelines.similarity import embed_kmeans
+
+    rng = np.random.RandomState(5)
+    centers = np.array(
+        [[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]]
+    )
+    vecs, truth = [], []
+    for i in range(90):
+        c = i % 3
+        vecs.append(centers[c] + rng.normal(0, 0.1, 4))
+        truth.append(c)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(90), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    out = embed_kmeans(
+        rd.from_arrow(t).repartition(4), k=3, iters=4
+    ).to_pandas().sort_values("vec_id")
+    got = out["cluster"].to_numpy()
+    # each truth group maps to exactly one output cluster (purity 1.0)
+    for g in range(3):
+        assert len(set(got[np.asarray(truth) == g])) == 1
+    assert len(set(got)) == 3
+
+    out2 = embed_kmeans(
+        rd.from_arrow(t).repartition(7), k=3, iters=4
+    ).to_pandas().sort_values("vec_id")
+    assert (out2["cluster"].to_numpy() == got).all()  # block-layout-invariant
+
+
+def test_embed_kmeans_empty_cluster_keeps_seed(ray_session):
+    """A seed that attracts no members keeps its centroid instead of
+    producing NaNs; all points still get valid assignments."""
+    from bm25_benchmarks_ray.pipelines.similarity import embed_kmeans
+
+    # seeds are ids 0 and 1; every point is near direction (1, 0) so
+    # cluster 1 (seeded at a (1,0)-ish point too) wins everything or
+    # nothing — either way no NaN and assignments stay in {0, 1}
+    vecs = [[1.0, 0.01 * i] for i in range(20)]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(20), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+        }
+    )
+    out = embed_kmeans(rd.from_arrow(t), k=2, iters=3).to_pandas()
+    assert out["cluster"].isin([0, 1]).all()
+    assert len(out) == 20

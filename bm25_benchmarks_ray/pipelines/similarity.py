@@ -578,9 +578,11 @@ def embed_kmeans(
     Ray shape (per iteration): centroids broadcast once via
     ``ray.put``; ONE streaming ``map_batches`` pass emits per-block
     partial (cluster, count, sum) rows — k rows per block, the
-    map-side combine — and the tiny k×blocks reduce runs driver-side.
-    Nothing driver-side scales with the corpus; the final pass streams
-    assignments back as a Dataset-shaped table."""
+    map-side combine — then a coalescing combine stage folds ~8k
+    partial rows per task before the driver reduce, so the driver sees
+    O(k × blocks/8k) rows, never O(k × blocks): at 10^6 input blocks
+    the driver-side table stays thousands of rows.  The final pass
+    streams assignments back as a Dataset."""
     # deterministic seeds: per-block partial min-k, tiny driver reduce
     def mink(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
@@ -617,12 +619,33 @@ def embed_kmeans(
 
         return psums
 
+    def combine_partials(batch: pa.Table) -> pa.Table:
+        # fold many blocks' k-row partials into one k-row partial
+        # (same schema in and out — composable at any depth)
+        cl = batch.column("cluster").to_numpy()
+        cnt = batch.column("count").to_numpy()
+        sm = np.asarray(batch.column("sum").to_pylist(), dtype=np.float64)
+        kk = int(cl.max()) + 1 if cl.size else 0
+        tot = np.zeros((kk, sm.shape[1] if sm.size else 0), dtype=np.float64)
+        np.add.at(tot, cl, sm)
+        n = np.zeros(kk, dtype=np.int64)
+        np.add.at(n, cl, cnt)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                "count": pa.array(n),
+                "sum": pa.array(list(tot)),
+            }
+        )
+
     for _ in range(iters):
         c_ref = ray.put(cents)
         parts = pa.concat_tables(
-            ds.map_batches(make_psums(c_ref), batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow"
+            ds.map_batches(make_psums(c_ref), batch_format="pyarrow")
+            .map_batches(
+                combine_partials, batch_format="pyarrow", batch_size=8192
             )
+            .iter_batches(batch_format="pyarrow")
         )
         cl = parts.column("cluster").to_numpy()
         cnt = parts.column("count").to_numpy()

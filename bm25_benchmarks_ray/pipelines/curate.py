@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from ..functions.tokenizer import STOPWORDS_EN, TOKEN_RE
+
 from .dedup import fast_hash_u64, md5_u64
 from .sampling import MOD
 from .text_analysis import PUNCT_RE
@@ -55,18 +55,20 @@ def curate(
     Returns (doc_id, source, quality)."""
 
     def fused(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n = batch.num_rows
-        n_tok = np.zeros(n, dtype=np.int64)
-        punct = np.zeros(n, dtype=np.float64)
-        swr = np.zeros(n, dtype=np.float64)
-        for i, text in enumerate(texts):
-            toks = TOKEN_RE.findall(text.lower())
-            n_tok[i] = len(toks)
-            if len(text):
-                punct[i] = len(PUNCT_RE.findall(text)) / len(text)
-            if toks:
-                swr[i] = sum(1 for t in toks if t in STOPWORDS_EN) / len(toks)
+        import pyarrow.compute as pc
+
+        from .text_analysis import _regex_count, _stream_stats, _text_array
+
+        col = _text_array(batch.column("text"))
+        texts = col.to_pylist()  # needed once for the content hash
+        n_tok, swr = _stream_stats(col)
+        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        punct = np.divide(
+            _regex_count(col, r"[^\w\s]", PUNCT_RE).astype(np.float64),
+            n_chars,
+            out=np.zeros(len(n_chars), dtype=np.float64),
+            where=n_chars > 0,
+        )
         quality = np.round(
             0.5 * np.clip(n_tok / 20.0, 0.0, 1.0)
             + 0.3 * np.clip(1.0 - 5.0 * punct, 0.0, 1.0)

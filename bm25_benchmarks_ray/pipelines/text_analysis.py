@@ -24,6 +24,63 @@ BPE_RE = re.compile(r"[A-Za-z]{1,4}|[0-9]|[^\sA-Za-z0-9]")
 PUNCT_RE = re.compile(r"[^\w\s]")
 
 
+def _text_array(texts_col) -> pa.Array:
+    if isinstance(texts_col, pa.ChunkedArray):
+        return texts_col.combine_chunks()
+    return texts_col
+
+
+def _stream_stats(texts_col) -> tuple[np.ndarray, np.ndarray]:
+    """(n_tokens, stopword_ratio) per row, from the shared
+    dictionary-encoded token stream — stopword membership tested over
+    the DISTINCT tokens only, counted per doc with one bincount."""
+    from ..functions.tokenizer import dict_token_stream
+
+    codes, uniq, doc_of, lens = dict_token_stream(texts_col, lower=True)
+    m = len(lens)
+    if codes.size:
+        sw_u = np.fromiter((u in STOPWORDS_EN for u in uniq), bool, len(uniq))
+        sw_counts = np.bincount(
+            doc_of, weights=sw_u[codes].astype(np.float64), minlength=m
+        )
+    else:
+        sw_counts = np.zeros(m, dtype=np.float64)
+    ratios = np.divide(
+        sw_counts,
+        lens,
+        out=np.zeros(m, dtype=np.float64),
+        where=lens > 0,
+    )
+    return lens, ratios
+
+
+def _regex_count(texts_col, re2_pattern: str, py_re, lower: bool = False) -> np.ndarray:
+    """Per-row count of non-overlapping regex matches: one Arrow
+    ``count_substring_regex`` (RE2, C) pass, then the exact Python
+    regex re-counts only rows containing non-ASCII characters (RE2's
+    ASCII ``\\w``/``\\s`` classes differ from Python's unicode ones
+    there; identical on ASCII — same argument as dict_token_stream)."""
+    import pyarrow.compute as pc
+
+    arr = _text_array(texts_col)
+    target = pc.utf8_lower(arr) if lower else arr
+    counts = (
+        pc.count_substring_regex(target, re2_pattern)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    non_ascii = np.flatnonzero(
+        pc.not_equal(pc.binary_length(arr), pc.utf8_length(arr)).to_numpy(
+            zero_copy_only=False
+        )
+    )
+    if non_ascii.size:
+        sub = arr.take(pa.array(non_ascii)).to_pylist()
+        for j, s in zip(non_ascii, sub):
+            counts[j] = len(py_re.findall(s.lower() if lower else s))
+    return counts
+
+
 def language_id(ds: rd.Dataset, threshold: float = 0.08) -> rd.Dataset:
     """(doc_id, stopword_ratio, lang): 'en' when the share of tokens in
     the English stopword list reaches the threshold, else 'und'.
@@ -31,14 +88,9 @@ def language_id(ds: rd.Dataset, threshold: float = 0.08) -> rd.Dataset:
     in behind the same stage signature."""
 
     def f(batch: pa.Table) -> pa.Table:
-        ratios = np.zeros(batch.num_rows, dtype=np.float64)
-        for i, text in enumerate(batch.column("text").to_pylist()):
-            toks = TOKEN_RE.findall(text.lower())
-            # the tokenizer regex drops 1-char tokens ('a', 'i'), so the
-            # ratio is over >=2-char tokens — mirrored in the SQL oracle
-            if toks:
-                sw = sum(1 for t in toks if t in STOPWORDS_EN)
-                ratios[i] = sw / len(toks)
+        # the tokenizer regex drops 1-char tokens ('a', 'i'), so the
+        # ratio is over >=2-char tokens — mirrored in the SQL oracle
+        _, ratios = _stream_stats(batch.column("text"))
         lang = np.where(ratios >= threshold, "en", "und")
         return pa.table(
             {
@@ -57,19 +109,17 @@ def quality_score(ds: rd.Dataset) -> rd.Dataset:
     0..1 quality score."""
 
     def f(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        n_tok = np.zeros(n, dtype=np.int64)
-        n_chars = np.zeros(n, dtype=np.int64)
-        punct = np.zeros(n, dtype=np.float64)
-        swr = np.zeros(n, dtype=np.float64)
-        for i, text in enumerate(batch.column("text").to_pylist()):
-            n_chars[i] = len(text)
-            toks = TOKEN_RE.findall(text.lower())
-            n_tok[i] = len(toks)
-            if len(text):
-                punct[i] = len(PUNCT_RE.findall(text)) / len(text)
-            if toks:
-                swr[i] = sum(1 for t in toks if t in STOPWORDS_EN) / len(toks)
+        import pyarrow.compute as pc
+
+        col = _text_array(batch.column("text"))
+        n_tok, swr = _stream_stats(col)
+        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        punct = np.divide(
+            _regex_count(col, r"[^\w\s]", PUNCT_RE).astype(np.float64),
+            n_chars,
+            out=np.zeros(len(n_chars), dtype=np.float64),
+            where=n_chars > 0,
+        )
         length_ok = np.clip(n_tok / 20.0, 0.0, 1.0)
         punct_ok = np.clip(1.0 - 5.0 * punct, 0.0, 1.0)
         quality = np.round(0.5 * length_ok + 0.3 * punct_ok + 0.2 * np.clip(10 * swr, 0, 1), 6)
@@ -92,14 +142,12 @@ def token_count(ds: rd.Dataset) -> rd.Dataset:
     word-regex tokens, and a BPE-ish subword proxy count."""
 
     def f(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        ws = np.zeros(n, dtype=np.int64)
-        reg = np.zeros(n, dtype=np.int64)
-        bpe = np.zeros(n, dtype=np.int64)
-        for i, text in enumerate(batch.column("text").to_pylist()):
-            ws[i] = len(WS_RE.findall(text))
-            reg[i] = len(TOKEN_RE.findall(text.lower()))
-            bpe[i] = len(BPE_RE.findall(text))
+        from ..functions.tokenizer import dict_token_stream
+
+        col = _text_array(batch.column("text"))
+        ws = _regex_count(col, r"\S+", WS_RE)
+        reg = dict_token_stream(col, lower=True)[3]
+        bpe = _regex_count(col, r"[A-Za-z]{1,4}|[0-9]|[^\sA-Za-z0-9]", BPE_RE)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

@@ -433,6 +433,64 @@ def q_token_count(sf_dir: str):
     return token_count(_docs_ds(sf_dir))
 
 
+def q_docs_topk_per_source(sf_dir: str, k: int = 5):
+    """Per-source top-k docs by quality score (grouped top-k: map-side
+    per-block top-k combine → hash-partitioned key sort → one
+    whole-partition rank kernel).  Ties break on ascending doc_id,
+    matching the oracle's window ordering."""
+    import ray.data as rd
+
+    from .pipelines.topk import grouped_topk
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+
+    def score(batch):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from .pipelines.text_analysis import (
+            PUNCT_RE,
+            _regex_count,
+            _stream_stats,
+            _text_array,
+        )
+
+        col = _text_array(batch.column("text"))
+        n_tok, swr = _stream_stats(col)
+        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        punct = np.divide(
+            _regex_count(col, r"[^\w\s]", PUNCT_RE).astype(np.float64),
+            n_chars,
+            out=np.zeros(len(n_chars), dtype=np.float64),
+            where=n_chars > 0,
+        )
+        quality = np.round(
+            0.5 * np.clip(n_tok / 20.0, 0.0, 1.0)
+            + 0.3 * np.clip(1.0 - 5.0 * punct, 0.0, 1.0)
+            + 0.2 * np.clip(10 * swr, 0, 1),
+            6,
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "quality": pa.array(quality, type=pa.float64()),
+            }
+        )
+
+    return grouped_topk(
+        ds.map_batches(score, batch_format="pyarrow"),
+        key="source",
+        score="quality",
+        id_col="doc_id",
+        k=k,
+    )
+
+
 def q_fingerprint(sf_dir: str):
     from .pipelines.text_analysis import fingerprint
 
@@ -674,6 +732,22 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       CAST(b.embedding AS DOUBLE[])) >= 0.4
 """
+
+TOPK_PER_SOURCE_SQL = f"""
+WITH q AS ({{QUALITY}}),
+j AS (
+  SELECT d.doc_id, d.source, q.quality
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+),
+r AS (
+  SELECT doc_id, source, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id) AS rank
+  FROM j
+)
+SELECT doc_id, source, quality, rank FROM r WHERE rank <= 5
+"""
+
 
 def kmeans_sql(k: int = 8, iters: int = 2) -> str:
     """Exact SQL replica of pipelines.similarity.embed_kmeans: seed
@@ -1006,6 +1080,7 @@ ORACLE_SQL: dict[str, str] = {
     "embed_lsh_pairs": EMBED_PAIRS_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,
+    "docs_topk_per_source": TOPK_PER_SOURCE_SQL.replace("{QUALITY}", QUALITY_SQL),
     "token_count": TOKEN_COUNT_SQL,
     "fingerprint": FINGERPRINT_SQL,
     "corpus_union": CORPUS_UNION_SQL,
@@ -1064,6 +1139,7 @@ def build_queries() -> dict:
             "embed_ivf_topk": q_embed_ivf_topk,
             "lang_id": q_lang_id,
             "quality_score": q_quality_score,
+            "docs_topk_per_source": q_docs_topk_per_source,
             "token_count": q_token_count,
             "fingerprint": q_fingerprint,
             "winnow_fingerprint": q_winnow_fingerprint,

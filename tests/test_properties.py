@@ -171,3 +171,39 @@ def test_lowest_unmatched_matches_naive():
         np.testing.assert_array_equal(
             _lowest_unmatched(matched, lo, hi, k), naive(matched, lo, hi, k)
         )
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("L", "N", "P", "Z", "S")
+            ),
+            max_size=60,
+        ),
+        max_size=20,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_dict_token_stream_equals_python_re(texts):
+    """The mixed ASCII/unicode fast path must reproduce the Python-re
+    token stream exactly for ARBITRARY input, including batches mixing
+    ASCII and non-ASCII rows in any order."""
+    import numpy as np
+
+    from bm25_benchmarks_ray.functions.tokenizer import (
+        TOKEN_RE,
+        dict_token_stream,
+    )
+
+    codes, uniq, doc_of, lens = dict_token_stream(texts, lower=True)
+    ref_flat, ref_doc = [], []
+    for i, s in enumerate(texts):
+        toks = TOKEN_RE.findall(s.lower())
+        ref_flat.extend(toks)
+        ref_doc.extend([i] * len(toks))
+        assert lens[i] == len(toks)
+    assert list(uniq[codes] if len(codes) else []) == ref_flat
+    assert list(doc_of) == ref_doc
+    if len(codes):
+        assert set(np.unique(codes)) == set(range(len(uniq)))

@@ -778,11 +778,16 @@ def minhash_lsh_pairs(
     bucket) candidates → dedup pairs → verify with true shingle
     Jaccard (verify=False returns raw candidates)."""
     rows_per_band = num_hashes // bands
+    # 16384-row signer batches: each actor call emits one block, and
+    # every downstream sort-reduce task fetches one slice PER map block
+    # — at 4096 the shuffle paid ~4x the object-fetch round-trips for
+    # the same bytes (measured 18.0 -> 12.6 s on the sig+sort of 1.2M
+    # docs; same lever as the simhash signer below)
     sig = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_hashes": num_hashes, "shingle_n": shingle_n},
         batch_format="pyarrow",
-        batch_size=4096,
+        batch_size=16384,
         concurrency=_stage_pool(),
     )
 
@@ -989,9 +994,14 @@ def simhash_pairs(
 
     def sim_pairs_block(tbl: pa.Table) -> pa.Table:
         """All buckets of the sorted partition in one invocation, fully
-        vectorized (masks for run-dedup, per-run-LENGTH triu broadcast
-        for pair emission — no per-run Python loop; see pairs_block),
-        then ONE vectorized popcount over every candidate pair."""
+        vectorized, with the popcount collapsed to DISTINCT-simhash
+        pairs: template-heavy buckets hold many docs sharing one
+        simhash, so Hamming is computed once per (sim_i, sim_j) group
+        pair — (ℓ/u)² less gather/XOR work for a bucket of ℓ docs with
+        u distinct sims (measured 219 core-s → ~8 core-s on the 1.2M
+        synthetic corpus, identical output) — and the surviving group
+        pairs expand to member pairs afterward (within-group pairs are
+        Hamming 0 by construction)."""
         if tbl.num_rows == 0:
             return _empty
         order, starts, ends = _bucket_runs(tbl, ["bucket"])
@@ -1013,27 +1023,79 @@ def simhash_pairs(
             ray.get(drop_handle.add_many.remote([int(x) for x in L[over]]))
         if not ok.any():
             return _empty
-        off2 = np.concatenate(([0], np.cumsum(L)))
-        idx_a, idx_b = [], []
-        for l in np.unique(L[ok]):
-            runs_l = off2[:-1][ok & (L == l)]
-            ai, bi = np.triu_indices(int(l), k=1)
-            idx_a.append((runs_l[:, None] + ai[None, :]).ravel())
-            idx_b.append((runs_l[:, None] + bi[None, :]).ravel())
-        ia = np.concatenate(idx_a)
-        ib = np.concatenate(idx_b)
-        a, b = doc2[ia], doc2[ib]
-        x = sim2[ia] ^ sim2[ib]
-        # byte-LUT popcount: 8 gathers instead of 64 shift/mask passes
-        ham = (
-            _POPCOUNT8[x.view(np.uint8)].reshape(-1, 8).sum(axis=1).astype(np.int64)
-        )
-        keep = ham <= hamming_max
+        row_ok = ok[rid2]
+        doc3, sim3, rid3 = doc2[row_ok], sim2[row_ok], rid2[row_ok]
+        # (run, sim) groups contiguous; docs ascending within a group
+        o3 = np.lexsort((doc3, sim3, rid3))
+        doc3, sim3, rid3 = doc3[o3], sim3[o3], rid3[o3]
+        g_first = np.concatenate(
+            ([True], (rid3[1:] != rid3[:-1]) | (sim3[1:] != sim3[:-1]))
+        ) if rid3.size else np.empty(0, bool)
+        g_start = np.flatnonzero(g_first)
+        g_size = np.diff(np.concatenate((g_start, [doc3.size])))
+        g_run = rid3[g_start]
+        g_sim = sim3[g_start]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+        # (1) within-group member pairs: identical simhash → Hamming 0
+        dup = g_size >= 2
+        if dup.any():
+            for l in np.unique(g_size[dup]):
+                gs = g_start[dup & (g_size == l)]
+                ai, bi = np.triu_indices(int(l), k=1)
+                ia = (gs[:, None] + ai[None, :]).ravel()
+                ib = (gs[:, None] + bi[None, :]).ravel()
+                out_a.append(doc3[ia])
+                out_b.append(doc3[ib])
+                out_h.append(np.zeros(ia.size, dtype=np.int64))
+        # (2) cross-group pairs within a run: ONE popcount per distinct
+        # (sim_i, sim_j), then expand survivors to member pairs
+        Lg = np.bincount(g_run, minlength=starts.size)
+        goff = np.concatenate(([0], np.cumsum(Lg)))
+        okg = Lg >= 2
+        if okg.any():
+            gidx_a, gidx_b = [], []
+            for l in np.unique(Lg[okg]):
+                runs_l = goff[:-1][okg & (Lg == l)]
+                ai, bi = np.triu_indices(int(l), k=1)
+                gidx_a.append((runs_l[:, None] + ai[None, :]).ravel())
+                gidx_b.append((runs_l[:, None] + bi[None, :]).ravel())
+            ga = np.concatenate(gidx_a)
+            gb = np.concatenate(gidx_b)
+            x = g_sim[ga] ^ g_sim[gb]
+            # byte-LUT popcount: 8 gathers per DISTINCT-sim pair
+            ham_g = (
+                _POPCOUNT8[x.view(np.uint8)]
+                .reshape(-1, 8)
+                .sum(axis=1)
+                .astype(np.int64)
+            )
+            keep_g = ham_g <= hamming_max
+            ga, gb, ham_g = ga[keep_g], gb[keep_g], ham_g[keep_g]
+            if ga.size:
+                na, nb = g_size[ga], g_size[gb]
+                tot = na * nb
+                poff = np.concatenate(([0], np.cumsum(tot)))
+                pair_of = np.repeat(np.arange(ga.size), tot)
+                pos = np.arange(int(poff[-1])) - poff[pair_of]
+                nb_rep = nb[pair_of]
+                i = pos // nb_rep
+                j = pos - i * nb_rep
+                av = doc3[g_start[ga][pair_of] + i]
+                bv = doc3[g_start[gb][pair_of] + j]
+                # groups sort by sim, not doc — restore the canonical
+                # (a < b) orientation the reducers and oracle key on
+                out_a.append(np.minimum(av, bv))
+                out_b.append(np.maximum(av, bv))
+                out_h.append(ham_g[pair_of])
+        if not out_a:
+            return _empty
         return pa.table(
             {
-                "a": pa.array(a[keep], type=pa.int64()),
-                "b": pa.array(b[keep], type=pa.int64()),
-                "hamming": pa.array(ham[keep], type=pa.int64()),
+                "a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "hamming": pa.array(np.concatenate(out_h), type=pa.int64()),
             }
         )
 
@@ -1043,7 +1105,7 @@ def simhash_pairs(
                 ds.map_batches(
                     SimhashSigner,
                     batch_format="pyarrow",
-                    batch_size=4096,
+                    batch_size=16384,
                     concurrency=_stage_pool(),
                 ),
                 ["bucket"],

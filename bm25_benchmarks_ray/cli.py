@@ -274,6 +274,71 @@ def cmd_bench(args) -> int:
     return subprocess.run(cmd, env=env).returncode
 
 
+def _read_docs(path: str, columns: list[str]):
+    import ray.data as rd
+
+    return rd.read_parquet(path, columns=columns)
+
+
+def cmd_dedup(args) -> int:
+    """Near/exact-duplicate detection over a (doc_id, text) parquet
+    corpus; writes survivors (exact) or pairs (others) as parquet."""
+    _init_ray(args.num_cpus)
+    from .pipelines import dedup as dd
+
+    ds = _read_docs(args.input, ["doc_id", "text"])
+    rep = dd.DropReport() if args.method != "exact" else None
+    if args.method == "exact":
+        out = dd.exact_dedup(ds)
+    elif args.method == "minhash":
+        out = dd.minhash_lsh_pairs(ds, threshold=args.threshold, drop_report=rep)
+    elif args.method == "simhash":
+        out = dd.simhash_pairs(ds, hamming_max=args.hamming_max, drop_report=rep)
+    else:
+        out = dd.ngram_jaccard_pairs(ds, threshold=args.threshold, drop_report=rep)
+    out.write_parquet(args.output)
+    summary = {"method": args.method, "rows": out.count()}
+    if rep is not None:
+        summary.update(rep.get())  # no silent caps: dropped buckets surface
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    """Per-document text analysis (language ID / quality / token counts
+    / fingerprints) over a (doc_id, text) parquet corpus."""
+    _init_ray(args.num_cpus)
+    from .pipelines import text_analysis as ta
+
+    ds = _read_docs(args.input, ["doc_id", "text"])
+    fn = {
+        "lang_id": ta.language_id,
+        "quality": ta.quality_score,
+        "token_count": ta.token_count,
+        "fingerprint": ta.fingerprint,
+        "winnow": ta.winnow_fingerprint,
+    }[args.op]
+    out = fn(ds)
+    out.write_parquet(args.output)
+    print(json.dumps({"op": args.op, "rows": out.count()}))
+    return 0
+
+
+def cmd_cluster(args) -> int:
+    """Distributed spherical k-means over a (vec_id, embedding) parquet
+    table; writes (vec_id, cluster) assignments."""
+    _init_ray(args.num_cpus)
+    from .pipelines.similarity import embed_kmeans
+
+    ds = _read_docs(args.input, [args.id_col, args.vec_col])
+    out = embed_kmeans(
+        ds, k=args.k, iters=args.iters, vec_col=args.vec_col, id_col=args.id_col
+    )
+    out.write_parquet(args.output)
+    print(json.dumps({"k": args.k, "iters": args.iters, "rows": out.count()}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="bm25_benchmarks_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -325,6 +390,32 @@ def main(argv=None) -> int:
     p.add_argument("--sf", type=float, default=None)
     p.add_argument("--scaling", action="store_true")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("dedup")
+    p.add_argument("--input", required=True, help="parquet with doc_id,text")
+    p.add_argument("--output", required=True)
+    p.add_argument("--method", default="exact",
+                   choices=["exact", "minhash", "simhash", "ngram"])
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--hamming-max", type=int, default=3)
+    p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser("analyze")
+    p.add_argument("--input", required=True, help="parquet with doc_id,text")
+    p.add_argument("--output", required=True)
+    p.add_argument("--op", default="quality",
+                   choices=["lang_id", "quality", "token_count",
+                            "fingerprint", "winnow"])
+    p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("cluster")
+    p.add_argument("--input", required=True, help="parquet with vec_id,embedding")
+    p.add_argument("--output", required=True)
+    p.add_argument("--k", type=int, default=8)
+    p.add_argument("--iters", type=int, default=2)
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--id-col", default="vec_id")
+    p.set_defaults(fn=cmd_cluster)
 
     args = ap.parse_args(argv)
     try:

@@ -69,3 +69,36 @@ def test_cli_index_query_eval(ray_session, tmp_path):
     assert len(recs) == 1
     assert recs[0]["scores"]["recall"]["Recall@10"] >= 0.99
     assert recs[0]["scores"]["ndcg"]["NDCG@10"] > 0.8
+
+
+def test_cli_dedup_analyze_cluster(ray_session, tmp_path, capsys):
+    """The training-data CLI surfaces run end-to-end on real testdata
+    and write parquet outputs with drop reporting surfaced."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from bm25_benchmarks_ray import cli
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out1 = str(tmp_path / "dedup")
+    assert cli.main(["dedup", "--input", docs, "--output", out1,
+                     "--method", "exact"]) == 0
+    assert pq.read_table(out1).num_rows > 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["method"] == "exact"
+
+    out2 = str(tmp_path / "quality")
+    assert cli.main(["analyze", "--input", docs, "--output", out2,
+                     "--op", "quality"]) == 0
+    t = pq.read_table(out2)
+    assert t.num_rows == pq.read_table(docs).num_rows
+    assert "quality" in t.schema.names
+
+    out3 = str(tmp_path / "clusters")
+    assert cli.main(["cluster", "--input",
+                     "/root/testdata/sf0.001/embeddings.parquet",
+                     "--output", out3, "--k", "4", "--iters", "1"]) == 0
+    t = pq.read_table(out3)
+    assert set(t.schema.names) == {"vec_id", "cluster"}
+    assert t.column("cluster").to_pandas().between(0, 3).all()

@@ -183,6 +183,10 @@ def dict_token_stream(texts_col, lower: bool = True, fast_ok: bool = True,
         texts_col = pa.array(texts_col, type=pa.string())
     if isinstance(texts_col, pa.ChunkedArray):
         texts_col = texts_col.combine_chunks()
+    if texts_col.null_count:
+        # null text = empty doc (real corpora carry missing fields;
+        # a null would poison the ASCII mask and crash the re path)
+        texts_col = pc.fill_null(texts_col, "")
     lowered = pc.utf8_lower(texts_col) if lower else texts_col
     m = len(lowered)
     split = py_split if py_split is not None else TOKEN_RE.findall

@@ -135,3 +135,19 @@ def test_hf_splitter_import_gated():
         pass
     with _pytest.raises(ImportError, match="tokenizers"):
         resolve_splitter("hf:bert-base-uncased")
+
+
+def test_dict_token_stream_null_text_is_empty_doc():
+    import pyarrow as pa
+
+    from bm25_benchmarks_ray.functions.tokenizer import dict_token_stream
+
+    col = pa.array(["hello world", None, "second doc"], type=pa.string())
+    codes, uniq, doc_of, lens = dict_token_stream(col, lower=True)
+    assert list(lens) == [2, 0, 2]
+    assert list(uniq[codes]) == ["hello", "world", "second", "doc"]
+    # null mixed with non-ASCII (python fallback path)
+    col2 = pa.array(["café one", None], type=pa.string())
+    codes2, uniq2, doc_of2, lens2 = dict_token_stream(col2, lower=True)
+    assert list(lens2) == [2, 0]
+    assert list(uniq2[codes2]) == ["café", "one"]

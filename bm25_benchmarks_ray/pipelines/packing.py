@@ -47,12 +47,12 @@ def pack_offsets(
     last_bin == first_bin."""
 
     def count(batch: pa.Table) -> pa.Table:
+        from .text_analysis import _regex_count
+
         ids = batch.column(id_col).to_numpy()
-        n = np.fromiter(
-            (len(WS_RE.findall(t)) for t in batch.column(text_col).to_pylist()),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        # Arrow count_substring_regex for ASCII rows, exact Python re
+        # for non-ASCII rows — same values, no per-doc findall loop
+        n = _regex_count(batch.column(text_col), r"\S+", WS_RE)
         return pa.table(
             {
                 id_col: pa.array(ids, type=pa.int64()),

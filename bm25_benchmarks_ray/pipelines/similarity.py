@@ -591,10 +591,13 @@ def embed_kmeans(
             batch = batch.take(pa.array(sel))
         return batch.select([id_col, vec_col])
 
+    # second mink pass with a large batch coalesces many blocks' k-row
+    # partials, so the driver concat sees O(k × blocks/8k) rows — same
+    # bounding as the per-iteration combine_partials below
     cand = pa.concat_tables(
-        ds.map_batches(mink, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        )
+        ds.map_batches(mink, batch_format="pyarrow")
+        .map_batches(mink, batch_format="pyarrow", batch_size=8192)
+        .iter_batches(batch_format="pyarrow")
     )
     order = np.argsort(cand.column(id_col).to_numpy(), kind="stable")[:k]
     cents = _batch_matrix(cand.take(pa.array(order)), vec_col)

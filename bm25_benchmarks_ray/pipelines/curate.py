@@ -114,7 +114,7 @@ def curate(
     from .dedup import _bucket_sorted
 
     fused_rows = ds.select_columns(["doc_id", "text", "source"]).map_batches(
-        fused, batch_format="pyarrow"
+        fused, batch_format="pyarrow", batch_size=16384
     )
     return _bucket_sorted(fused_rows, ["h"], prehashed=True).map_batches(
         survivors_block, batch_format="pyarrow", batch_size=None

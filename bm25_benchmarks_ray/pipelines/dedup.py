@@ -415,7 +415,9 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
         first[1:] = hs[1:] != hs[:-1]
         return pa.table({id_col: pa.array(doc[order][first], type=pa.int64())})
 
-    combined = ds.map_batches(combine, batch_format="pyarrow")
+    # 16384-row batches: fewer map blocks => fewer plasma slices per
+    # sort-reduce fetch (same lever as the LSH signer stages)
+    combined = ds.map_batches(combine, batch_format="pyarrow", batch_size=16384)
     return _bucket_sorted(combined, ["h"], prehashed=True).map_batches(
         survivors_block, batch_format="pyarrow", batch_size=None
     )
@@ -621,7 +623,9 @@ def ngram_jaccard_pairs(
     |A∩B|; |A∪B| recovered by hash-joining the per-doc shingle-count
     table back onto the pairs (both sides stay distributed — no
     driver-side size map).  ``drop_report`` surfaces over-cap buckets."""
-    sh = ds.map_batches(lambda b: _shingle_rows(b, n), batch_format="pyarrow")
+    sh = ds.map_batches(
+        lambda b: _shingle_rows(b, n), batch_format="pyarrow", batch_size=16384
+    )
 
     def sizes_block(batch: pa.Table) -> pa.Table:
         # one (doc, n_sh) row per doc WITHOUT a shuffle: input rows are
@@ -637,7 +641,9 @@ def ngram_jaccard_pairs(
             }
         )
 
-    sizes = _stabilize(ds.map_batches(sizes_block, batch_format="pyarrow"))
+    sizes = _stabilize(
+        ds.map_batches(sizes_block, batch_format="pyarrow", batch_size=16384)
+    )
 
     pairs = bucket_pairs(
         sh.select_columns(["sh", "doc_id"]),

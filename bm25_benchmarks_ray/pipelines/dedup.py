@@ -415,8 +415,8 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
         first[1:] = hs[1:] != hs[:-1]
         return pa.table({id_col: pa.array(doc[order][first], type=pa.int64())})
 
-    # 16384-row batches: fewer map blocks => fewer plasma slices per
-    # sort-reduce fetch (same lever as the LSH signer stages)
+    # 16384-row batches: fewer UDF dispatches (same lever as the LSH
+    # signer stages; block counts are batch-size-independent)
     combined = ds.map_batches(combine, batch_format="pyarrow", batch_size=16384)
     return _bucket_sorted(combined, ["h"], prehashed=True).map_batches(
         survivors_block, batch_format="pyarrow", batch_size=None
@@ -784,11 +784,11 @@ def minhash_lsh_pairs(
     bucket) candidates → dedup pairs → verify with true shingle
     Jaccard (verify=False returns raw candidates)."""
     rows_per_band = num_hashes // bands
-    # 16384-row signer batches: each actor call emits one block, and
-    # every downstream sort-reduce task fetches one slice PER map block
-    # — at 4096 the shuffle paid ~4x the object-fetch round-trips for
-    # the same bytes (measured 18.0 -> 12.6 s on the sig+sort of 1.2M
-    # docs; same lever as the simhash signer below)
+    # 16384-row signer batches: 4x fewer UDF dispatches amortize the
+    # per-call setup (cache probe, factorize, batch plumbing) — the
+    # sig+sort component measured 18.0 -> 12.6 s on 1.2M docs in a
+    # same-window A/B (output BLOCK counts are unchanged; Ray coalesces
+    # task outputs to the target block size either way)
     sig = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_hashes": num_hashes, "shingle_n": shingle_n},

@@ -169,10 +169,15 @@ def dict_token_stream(texts_col, lower: bool = True, fast_ok: bool = True,
     per-token Python string (RE2's ASCII ``\\w`` equals Python's
     unicode ``\\w`` on ASCII input, so the streams are identical
     there).  Rows containing non-ASCII characters run the exact
-    Python ``TOKEN_RE`` path per doc, and the two streams merge under
-    one dictionary — mixed batches keep full semantics while paying
-    Python cost only for the non-ASCII fraction.  ``fast_ok=False``
-    (custom splitter) routes every row through ``py_split``.
+    Python path per doc — ``str.lower()`` then ``TOKEN_RE`` (Python and
+    Arrow lowercase DIVERGE outside ASCII: Python maps U+0130 'İ' to
+    'i'+combining-dot, Arrow's simple mapping to plain 'i', so the
+    ASCII routing test MUST run on the ORIGINAL bytes, never the
+    Arrow-lowered ones — hypothesis-caught) — and the two streams merge
+    under one dictionary.  Mixed batches keep full semantics while
+    paying Python cost only for the non-ASCII fraction.
+    ``fast_ok=False`` (custom splitter) routes every row through
+    ``py_split``.
     """
     import numpy as np
     import pandas as pd
@@ -187,27 +192,30 @@ def dict_token_stream(texts_col, lower: bool = True, fast_ok: bool = True,
         # null text = empty doc (real corpora carry missing fields;
         # a null would poison the ASCII mask and crash the re path)
         texts_col = pc.fill_null(texts_col, "")
-    lowered = pc.utf8_lower(texts_col) if lower else texts_col
-    m = len(lowered)
+    m = len(texts_col)
     split = py_split if py_split is not None else TOKEN_RE.findall
 
     def py_stream(strings: list[str]):
         lens = np.empty(len(strings), dtype=np.int64)
         flat: list[str] = []
         for i, s in enumerate(strings):
-            toks = split(s)
+            toks = split(s.lower() if lower else s)
             lens[i] = len(toks)
             flat.extend(toks)
         return flat, lens
 
     a_idx = np.empty(0, dtype=np.int64)
     if fast_ok and m:
+        # routing test on the ORIGINAL text: on pure-ASCII rows Arrow
+        # and Python lowercase agree, elsewhere they may not
         ascii_mask = pc.equal(
-            pc.binary_length(lowered), pc.utf8_length(lowered)
+            pc.binary_length(texts_col), pc.utf8_length(texts_col)
         ).to_numpy(zero_copy_only=False)
         a_idx = np.flatnonzero(ascii_mask)
     if a_idx.size:
-        sub = lowered.take(pa.array(a_idx)) if a_idx.size < m else lowered
+        sub = texts_col.take(pa.array(a_idx)) if a_idx.size < m else texts_col
+        if lower:
+            sub = pc.utf8_lower(sub)
         lists = pc.split_pattern_regex(sub, r"\W+")
         per_doc = pc.list_value_length(lists).to_numpy()
         toks = pc.list_flatten(lists)
@@ -224,10 +232,11 @@ def dict_token_stream(texts_col, lower: bool = True, fast_ok: bool = True,
         if a_idx.size == m:  # pure-ASCII batch: done
             lens = np.bincount(doc_of_a, minlength=m).astype(np.int64)
             return codes_a, uniq_a, doc_of_a, lens
-        # mixed batch: python-re the non-ASCII rows, merge dictionaries
+        # mixed batch: python-re the non-ASCII rows (python lowercase
+        # inside py_stream), merge dictionaries
         b_idx = np.flatnonzero(~ascii_mask)
         flat_b, lens_b = py_stream(
-            lowered.take(pa.array(b_idx)).to_pylist()
+            texts_col.take(pa.array(b_idx)).to_pylist()
         )
         fb = np.asarray(flat_b, dtype=object)
         f_codes, f_uniq = pd.factorize(
@@ -243,7 +252,7 @@ def dict_token_stream(texts_col, lower: bool = True, fast_ok: bool = True,
         lens = np.bincount(doc_of, minlength=m).astype(np.int64)
         return codes, np.asarray(f_uniq, dtype=object), doc_of, lens
     # all-python path (custom splitter / non-ASCII-only / empty batch)
-    flat, lens = py_stream(lowered.to_pylist())
+    flat, lens = py_stream(texts_col.to_pylist())
     doc_of = np.repeat(np.arange(m, dtype=np.int64), lens)
     if not flat:
         return np.empty(0, np.int64), np.empty(0, dtype=object), doc_of, lens

@@ -20,10 +20,18 @@ _THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
 
 
 def varint_nbytes(values: np.ndarray) -> np.ndarray:
-    """Encoded byte length of each value."""
+    """Encoded byte length of each value.  One whole-array max bounds
+    the threshold loop: posting streams are overwhelmingly small values
+    (tf≈1-3, dl≈20-30, dense doc gaps), so most streams pay 0-2
+    comparison passes instead of all nine."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     nbytes = np.ones(v.size, dtype=np.int64)
+    if v.size == 0:
+        return nbytes
+    vmax = v.max()
     for t in _THRESHOLDS:
+        if vmax < t:
+            break
         nbytes += (v >= t).astype(np.int64)
     return nbytes
 
@@ -34,20 +42,21 @@ def varint_encode_with_offsets(
     """LEB128-encode plus the byte offset of every block_size-th value —
     the random-access skip table that lets a reader decode only the
     blocks covering a doc range (uint32 offsets, one per block)."""
-    buf = varint_encode(values)
-    v = np.ascontiguousarray(values, dtype=np.uint64)
-    if v.size == 0:
+    buf, bounds = varint_encode_bounds(values)
+    v_size = bounds.size - 1
+    if v_size == 0:
         return buf, np.empty(0, dtype=np.uint32)
-    ends = np.cumsum(varint_nbytes(v))
-    starts = np.concatenate(([0], ends[:-1]))
-    return buf, starts[::block_size].astype(np.uint32)
+    return buf, bounds[:-1][::block_size].astype(np.uint32)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array."""
+def varint_encode_bounds(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode plus the byte offset of every VALUE boundary
+    (length n+1, starting at 0) — one nbytes pass shared between the
+    encoder and the offset table (callers previously paid
+    ``varint_nbytes`` twice per stream)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(1, dtype=np.int64)
     nbytes = varint_nbytes(v)
     ends = np.cumsum(nbytes)
     out = np.empty(int(ends[-1]), dtype=np.uint8)
@@ -60,7 +69,15 @@ def varint_encode(values: np.ndarray) -> bytes:
         byte = ((vj >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[mask] > j + 1).astype(np.uint8) << 7
         out[starts[mask] + j] = byte | cont
-    return out.tobytes()
+    bounds = np.empty(ends.size + 1, dtype=np.int64)
+    bounds[0] = 0
+    bounds[1:] = ends
+    return out.tobytes(), bounds
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array."""
+    return varint_encode_bounds(values)[0]
 
 
 def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:

@@ -419,17 +419,18 @@ def make_merge_sorted(block_size: int = 128):
 
         # doc gaps change at run/block boundaries → always re-encoded;
         # tf/dl values are order-preserved on the fast path, so their
-        # streams are the input bytes re-sliced (no encode)
-        dbuf = varint_encode(gaps)
-        doff = _enc_offsets(gaps)
+        # streams are the input bytes re-sliced (no encode).  Fused
+        # encode+bounds: one varint_nbytes pass per stream instead of
+        # two (it was the merge profile's top line)
+        from ..functions.codec import varint_encode_bounds
+
+        dbuf, doff = varint_encode_bounds(gaps)
         if ordered:
             tbuf, toff = in_tbuf, _enc_offsets(tf_s.astype(np.uint64))
             lbuf, loff = in_lbuf, _enc_offsets(dl_s.astype(np.uint64))
         else:
-            tbuf = varint_encode(tf_s.astype(np.uint64))
-            toff = _enc_offsets(tf_s.astype(np.uint64))
-            lbuf = varint_encode(dl_s.astype(np.uint64))
-            loff = _enc_offsets(dl_s.astype(np.uint64))
+            tbuf, toff = varint_encode_bounds(tf_s.astype(np.uint64))
+            lbuf, loff = varint_encode_bounds(dl_s.astype(np.uint64))
 
         bs_idx = np.flatnonzero(is_reset)             # global block starts
         grp_sorted = np.repeat(np.arange(G, dtype=np.int64), ppt)

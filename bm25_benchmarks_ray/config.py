@@ -42,9 +42,12 @@ class IndexConfig:
     # postings per scoring block inside a segment row (block-max unit)
     block_size: int = 128
 
-    # actor-pool sizing for the tokenizer stage
+    # tokenizer stage batch size (runs as a task pool; cross-batch
+    # state lives at worker-process level — stages/tokenize_stage.py)
     tokenize_batch_size: int = 16384
-    tokenize_concurrency: int | tuple[int, int] | None = None  # None -> (2, cluster cpus)
+    # retained for manifest compatibility; the tokenizer no longer uses
+    # a fixed actor pool (task pool since round 3)
+    tokenize_concurrency: int | tuple[int, int] | None = None
 
     # parallelism hint for reads (None = let Ray decide)
     override_num_blocks: int | None = None

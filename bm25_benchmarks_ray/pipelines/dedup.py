@@ -247,19 +247,6 @@ def fast_hash_u64(strings) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False)
 
 
-def _stage_pool() -> int:
-    """Fixed actor-pool width for hot signer stages: cluster CPUs minus
-    two (slack for the downstream shuffle), same rationale as the index
-    tokenizer pool — fixed beats the autoscaling (1, 8) pool it
-    replaces because autoscale both ramps slowly AND capped at 8 actors
-    on a 32-CPU box (measured: the signature stage ran at 1/8 of its
-    per-core microbenchmark rate under the old cap)."""
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return max(1, cpus - 2)
-
-
 def _tokens(text: str) -> list[str]:
     return TOKEN_RE.findall(text.lower())
 
@@ -789,12 +776,13 @@ def minhash_lsh_pairs(
     # sig+sort component measured 18.0 -> 12.6 s on 1.2M docs in a
     # same-window A/B (output BLOCK counts are unchanged; Ray coalesces
     # task outputs to the target block size either way)
+    # task pool: MinHasher's only state is the deterministic 2 KiB
+    # permutation table — pickling it per task costs nothing, and the
+    # signer-pool ramp (~30 process spawns per run) disappears
     sig = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_hashes": num_hashes, "shingle_n": shingle_n},
+        MinHasher(num_hashes=num_hashes, shingle_n=shingle_n),
         batch_format="pyarrow",
         batch_size=16384,
-        concurrency=_stage_pool(),
     )
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -945,20 +933,25 @@ def simhash64(text: str) -> int:
     return int(simhash64_batch([text])[0])
 
 
+_PROC_MD5_CACHE: _Md5Cache | None = None
+
+
 class SimhashSigner:
     """Actor-pool signer stage: text → 4 (band-key, simhash) rows.
 
-    A class (not a plain fn) so the distinct-token md5 cache persists
-    across batches — once per actor in ``__init__``, reused every
-    ``__call__`` (hashlib calls drop to near zero after the first few
-    batches on a Zipf vocabulary)."""
-
-    def __init__(self) -> None:
-        self._cache = _Md5Cache()
+    The distinct-token md5 cache lives at worker-PROCESS level (a
+    module global), so it persists across batches AND across runs —
+    md5(token) never goes stale — and the stage can run as a plain
+    TASK pool: no per-run signer-pool ramp, and the callable instance
+    pickles empty (an instance-held cache would ship its whole
+    contents with every task)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        global _PROC_MD5_CACHE
+        if _PROC_MD5_CACHE is None:
+            _PROC_MD5_CACHE = _Md5Cache()
         doc = batch.column("doc_id").to_numpy()
-        sh = simhash64_batch(batch.column("text").to_pylist(), self._cache)
+        sh = simhash64_batch(batch.column("text").to_pylist(), _PROC_MD5_CACHE)
         bandv = np.stack(
             [(sh >> np.uint64(16 * i)) & np.uint64(0xFFFF) for i in range(4)], axis=1
         )
@@ -1109,10 +1102,11 @@ def simhash_pairs(
         _distinct_pairs(
             _bucket_sorted(
                 ds.map_batches(
-                    SimhashSigner,
+                    # task pool (pickled instance): the md5 cache is a
+                    # worker-process global, so no actor ramp is paid
+                    SimhashSigner(),
                     batch_format="pyarrow",
                     batch_size=16384,
-                    concurrency=_stage_pool(),
                 ),
                 ["bucket"],
                 prehashed=True,

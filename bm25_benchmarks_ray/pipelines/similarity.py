@@ -460,20 +460,21 @@ def hyperplane_lsh_pairs(
     parameterization, is the 100-TB shape: real near-dup thresholds are
     high, buckets get selective, and over-cap clusters are counted via
     ``drop_report`` instead of silently skipped."""
-    from .dedup import _distinct_pairs, _join_partitions, _stage_pool, bucket_pairs
+    from .dedup import _distinct_pairs, _join_partitions, bucket_pairs
 
     if dim is None:
         first = ds.take_batch(1, batch_format="pyarrow")
         dim = len(first.column(vec_col)[0].as_py())
 
+    # task pool: the signer's only state is the seeded hyperplane
+    # matrix (dim × bands·bits floats) — pickled per task, no pool ramp
     rows = ds.map_batches(
-        HyperplaneSigner,
-        fn_constructor_kwargs={
-            "dim": dim, "bands": bands, "bits": bits, "seed": seed,
-            "vec_col": vec_col, "id_col": id_col,
-        },
+        HyperplaneSigner(
+            dim=dim, bands=bands, bits=bits, seed=seed,
+            vec_col=vec_col, id_col=id_col,
+        ),
         batch_format="pyarrow",
-        concurrency=_stage_pool(),
+        batch_size=16384,
     )
     cands = _distinct_pairs(
         bucket_pairs(

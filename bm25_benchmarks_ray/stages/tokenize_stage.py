@@ -1,4 +1,5 @@
-"""Stateful tokenizer stages (actor-pool map_batches).
+"""Stateful tokenizer stages (map_batches callables; run as TASK
+pools — cross-batch state lives at worker-process level).
 
 One actor = one compiled regex + stopword frozenset + shared LRU stem
 cache (the reference stems the unique vocab once per corpus,
@@ -39,7 +40,7 @@ POSTINGS_SCHEMA = pa.schema(
 
 
 class TokenizePostings:
-    """map_batches callable class (actor pool)."""
+    """map_batches callable (task pool or actor pool both work)."""
 
     def __init__(self, config: IndexConfig):
         self.findall = resolve_splitter(getattr(config, "splitter", "regex"))

@@ -288,14 +288,25 @@ def cmd_dedup(args) -> int:
 
     ds = _read_docs(args.input, ["doc_id", "text"])
     rep = dd.DropReport() if args.method != "exact" else None
+    cap = {} if args.max_bucket is None else {"max_bucket": args.max_bucket}
     if args.method == "exact":
         out = dd.exact_dedup(ds)
     elif args.method == "minhash":
-        out = dd.minhash_lsh_pairs(ds, threshold=args.threshold, drop_report=rep)
+        out = dd.minhash_lsh_pairs(
+            ds, threshold=args.threshold, drop_report=rep, **cap
+        )
     elif args.method == "simhash":
-        out = dd.simhash_pairs(ds, hamming_max=args.hamming_max, drop_report=rep)
+        out = dd.simhash_pairs(
+            ds, hamming_max=args.hamming_max, drop_report=rep, **cap
+        )
     else:
-        out = dd.ngram_jaccard_pairs(ds, threshold=args.threshold, drop_report=rep)
+        out = dd.ngram_jaccard_pairs(
+            ds, threshold=args.threshold, drop_report=rep, **cap
+        )
+    # materialize ONCE: write_parquet + count() on the lazy dataset would
+    # execute the whole pipeline twice, double-firing the DropReport
+    # counters (the reported drop counts would be 2x the truth)
+    out = out.materialize()
     out.write_parquet(args.output)
     summary = {"method": args.method, "rows": out.count()}
     if rep is not None:
@@ -318,7 +329,7 @@ def cmd_analyze(args) -> int:
         "fingerprint": ta.fingerprint,
         "winnow": ta.winnow_fingerprint,
     }[args.op]
-    out = fn(ds)
+    out = fn(ds).materialize()  # one execution for write + count
     out.write_parquet(args.output)
     print(json.dumps({"op": args.op, "rows": out.count()}))
     return 0
@@ -333,7 +344,7 @@ def cmd_cluster(args) -> int:
     ds = _read_docs(args.input, [args.id_col, args.vec_col])
     out = embed_kmeans(
         ds, k=args.k, iters=args.iters, vec_col=args.vec_col, id_col=args.id_col
-    )
+    ).materialize()  # one execution for write + count
     out.write_parquet(args.output)
     print(json.dumps({"k": args.k, "iters": args.iters, "rows": out.count()}))
     return 0
@@ -398,6 +409,9 @@ def main(argv=None) -> int:
                    choices=["exact", "minhash", "simhash", "ngram"])
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--hamming-max", type=int, default=3)
+    p.add_argument("--max-bucket", type=int, default=None,
+                   help="candidate-bucket cap before a bucket is "
+                        "dropped (and counted in the drop report)")
     p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser("analyze")

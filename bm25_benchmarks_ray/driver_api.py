@@ -448,32 +448,12 @@ def q_docs_topk_per_source(sf_dir: str, k: int = 5):
     )
 
     def score(batch):
-        import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
 
-        from .pipelines.text_analysis import (
-            PUNCT_RE,
-            _regex_count,
-            _stream_stats,
-            _text_array,
-        )
+        from .pipelines.text_analysis import _quality_from_col, _text_array
 
         col = _text_array(batch.column("text"))
-        n_tok, swr = _stream_stats(col)
-        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
-        punct = np.divide(
-            _regex_count(col, r"[^\w\s]", PUNCT_RE).astype(np.float64),
-            n_chars,
-            out=np.zeros(len(n_chars), dtype=np.float64),
-            where=n_chars > 0,
-        )
-        quality = np.round(
-            0.5 * np.clip(n_tok / 20.0, 0.0, 1.0)
-            + 0.3 * np.clip(1.0 - 5.0 * punct, 0.0, 1.0)
-            + 0.2 * np.clip(10 * swr, 0, 1),
-            6,
-        )
+        quality = _quality_from_col(col)[4]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -952,7 +932,7 @@ s AS (
   FROM m
 )
 SELECT user_id, session_idx, min(tsu) AS start_us, max(tsu) AS end_us,
-       count(*) AS n_events, sum(value) AS sum_value
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, session_idx
 """
 

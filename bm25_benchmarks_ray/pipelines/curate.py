@@ -24,7 +24,6 @@ import ray.data as rd
 
 from .dedup import fast_hash_u64, md5_u64
 from .sampling import MOD
-from .text_analysis import PUNCT_RE
 
 
 def _source_threshold(sources, rate_even: float, rate_odd: float) -> np.ndarray:
@@ -55,26 +54,13 @@ def curate(
     Returns (doc_id, source, quality)."""
 
     def fused(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        from .text_analysis import _regex_count, _stream_stats, _text_array
+        from .text_analysis import _quality_from_col, _text_array
 
         col = _text_array(batch.column("text"))
         texts = col.to_pylist()  # needed once for the content hash
-        n_tok, swr = _stream_stats(col)
-        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
-        punct = np.divide(
-            _regex_count(col, r"[^\w\s]", PUNCT_RE).astype(np.float64),
-            n_chars,
-            out=np.zeros(len(n_chars), dtype=np.float64),
-            where=n_chars > 0,
-        )
-        quality = np.round(
-            0.5 * np.clip(n_tok / 20.0, 0.0, 1.0)
-            + 0.3 * np.clip(1.0 - 5.0 * punct, 0.0, 1.0)
-            + 0.2 * np.clip(10 * swr, 0, 1),
-            6,
-        )
+        # shared quality formula (text_analysis._quality_from_col):
+        # one definition for quality_score / curate / grouped top-k
+        _n_tok, _n_chars, _punct, swr, quality = _quality_from_col(col)
         keep = (quality >= quality_min) & (np.round(swr, 6) >= lang_threshold)
         ids = batch.column("doc_id").to_numpy()
         sources = batch.column("source").to_pylist()

@@ -559,7 +559,7 @@ def embed_kmeans(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> pa.Table:
+) -> rd.Dataset:
     """Distributed spherical k-means over an embedding column:
     ``(vec_id, cluster)`` assignments after ``iters`` Lloyd updates.
 
@@ -603,9 +603,23 @@ def embed_kmeans(
     order = np.argsort(cand.column(id_col).to_numpy(), kind="stable")[:k]
     cents = _batch_matrix(cand.take(pa.array(order)), vec_col)
 
+    def _empty_partial(dim: int) -> pa.Table:
+        # typed empty (cluster, count, sum): an untyped pa.array([])
+        # for "sum" would be null-typed and break concat_tables schema
+        # unification against real partials
+        return pa.table(
+            {
+                "cluster": pa.array([], type=pa.int64()),
+                "count": pa.array([], type=pa.int64()),
+                "sum": pa.array([], type=pa.list_(pa.float64())),
+            }
+        )
+
     def make_psums(c_ref):
         def psums(batch: pa.Table) -> pa.Table:
             c = ray.get(c_ref)
+            if batch.num_rows == 0:
+                return _empty_partial(c.shape[1])
             m = _batch_matrix(batch, vec_col)
             a = _cosine_matrix(m, c).argmax(axis=1)
             sums = np.zeros((c.shape[0], m.shape[1]), dtype=np.float64)
@@ -627,9 +641,11 @@ def embed_kmeans(
         # fold many blocks' k-row partials into one k-row partial
         # (same schema in and out — composable at any depth)
         cl = batch.column("cluster").to_numpy()
+        if cl.size == 0:
+            return _empty_partial(0)
         cnt = batch.column("count").to_numpy()
         sm = np.asarray(batch.column("sum").to_pylist(), dtype=np.float64)
-        kk = int(cl.max()) + 1 if cl.size else 0
+        kk = int(cl.max()) + 1
         tot = np.zeros((kk, sm.shape[1] if sm.size else 0), dtype=np.float64)
         np.add.at(tot, cl, sm)
         n = np.zeros(kk, dtype=np.int64)
@@ -665,6 +681,13 @@ def embed_kmeans(
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(c_ref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "cluster": pa.array([], type=pa.int64()),
+                }
+            )
         m = _batch_matrix(batch, vec_col)
         a = _cosine_matrix(m, c).argmax(axis=1).astype(np.int64)
         return pa.table(

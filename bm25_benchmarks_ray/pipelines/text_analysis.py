@@ -25,9 +25,14 @@ PUNCT_RE = re.compile(r"[^\w\s]")
 
 
 def _text_array(texts_col) -> pa.Array:
+    import pyarrow.compute as pc
+
     if isinstance(texts_col, pa.ChunkedArray):
-        return texts_col.combine_chunks()
-    return texts_col
+        texts_col = texts_col.combine_chunks()
+    # null text rows count as empty (same as dict_token_stream): without
+    # this, count_substring_regex returns null -> NaN -> INT64_MIN after
+    # the int64 cast, silently poisoning quality/curate scores
+    return pc.fill_null(texts_col, "")
 
 
 def _stream_stats(texts_col) -> tuple[np.ndarray, np.ndarray]:
@@ -103,26 +108,38 @@ def language_id(ds: rd.Dataset, threshold: float = 0.08) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _quality_from_col(col: pa.Array):
+    """THE composite quality formula over a text array — returns
+    (n_tokens, n_chars, punct_ratio, stopword_ratio, quality) arrays.
+    Shared by ``quality_score``, ``curate`` and the grouped-top-k
+    driver query (driver_api.q_docs_topk_per_source) so the scoring can
+    never drift between them while all share QUALITY_SQL as oracle."""
+    import pyarrow.compute as pc
+
+    n_tok, swr = _stream_stats(col)
+    n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    punct = np.divide(
+        _regex_count(col, r"[^\w\s]", PUNCT_RE).astype(np.float64),
+        n_chars,
+        out=np.zeros(len(n_chars), dtype=np.float64),
+        where=n_chars > 0,
+    )
+    length_ok = np.clip(n_tok / 20.0, 0.0, 1.0)
+    punct_ok = np.clip(1.0 - 5.0 * punct, 0.0, 1.0)
+    quality = np.round(
+        0.5 * length_ok + 0.3 * punct_ok + 0.2 * np.clip(10 * swr, 0, 1), 6
+    )
+    return n_tok, n_chars, punct, swr, quality
+
+
 def quality_score(ds: rd.Dataset) -> rd.Dataset:
     """(doc_id, n_tokens, n_chars, punct_ratio, stopword_ratio,
     quality): length/punctuation/stopword heuristics with a composite
     0..1 quality score."""
 
     def f(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         col = _text_array(batch.column("text"))
-        n_tok, swr = _stream_stats(col)
-        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
-        punct = np.divide(
-            _regex_count(col, r"[^\w\s]", PUNCT_RE).astype(np.float64),
-            n_chars,
-            out=np.zeros(len(n_chars), dtype=np.float64),
-            where=n_chars > 0,
-        )
-        length_ok = np.clip(n_tok / 20.0, 0.0, 1.0)
-        punct_ok = np.clip(1.0 - 5.0 * punct, 0.0, 1.0)
-        quality = np.round(0.5 * length_ok + 0.3 * punct_ok + 0.2 * np.clip(10 * swr, 0, 1), 6)
+        n_tok, n_chars, punct, swr, quality = _quality_from_col(col)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

@@ -146,8 +146,13 @@ def sessionize(
                 "start_us": pa.array(tsu[sstart], type=pa.int64()),
                 "end_us": pa.array(tsu[send - 1], type=pa.int64()),
                 "n_events": pa.array(send - sstart, type=pa.int64()),
+                # 6-decimal round, matching tumbling_window and the SQL
+                # oracle: np.add.reduceat and DuckDB's sum accumulate in
+                # different orders (~1e-14 divergence on long sessions)
+                # and sum_value participates in the value-hash compare.
                 "sum_value": pa.array(
-                    np.add.reduceat(val, sstart), type=pa.float64()
+                    np.round(np.add.reduceat(val, sstart), 6),
+                    type=pa.float64(),
                 ),
             }
         )

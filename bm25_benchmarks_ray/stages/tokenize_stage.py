@@ -182,8 +182,14 @@ class TokenizeRuns:
     @property
     def seen(self) -> set:
         s = self._SEEN
-        if self._seen_key not in s and len(s) >= 8:
-            s.pop(next(iter(s)))  # bound worker memory across pipelines
+        # bound worker memory across pipelines: keep at most ONE other
+        # pipeline's first-sight set (eviction is always safe — a fresh
+        # set only re-emits term strings, never drops data).  At
+        # SEEN_CAP=4M terms each retained set can hold multi-GB of
+        # strings, so retaining 8 of them pinned real memory in
+        # long-lived workers.
+        if self._seen_key not in s and len(s) >= 2:
+            s.pop(next(iter(s)))
         return s.setdefault(self._seen_key, set())
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -102,3 +102,47 @@ def test_cli_dedup_analyze_cluster(ray_session, tmp_path, capsys):
     t = pq.read_table(out3)
     assert set(t.schema.names) == {"vec_id", "cluster"}
     assert t.column("cluster").to_pandas().between(0, 3).all()
+
+
+def test_cli_dedup_drop_counts_single_execution(ray_session, tmp_path, capsys):
+    """The CLI's printed drop counts equal a single execution's
+    DropReport — the lazy write+count double-execution would have
+    doubled them (ADVICE r3)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from bm25_benchmarks_ray import cli
+    from bm25_benchmarks_ray.pipelines import dedup as dd
+
+    # 40 identical docs -> one candidate bucket far over max_bucket=8,
+    # plus distinct filler so the pipeline has non-dropped work too
+    texts = ["the same exact template text repeated verbatim"] * 40 + [
+        f"unique filler document number {i} with words {i * 7}" for i in range(20)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    docs = str(tmp_path / "docs.parquet")
+    pq.write_table(t, docs)
+
+    out = str(tmp_path / "pairs")
+    assert cli.main(["dedup", "--input", docs, "--output", out,
+                     "--method", "simhash", "--max-bucket", "8"]) == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["dropped_buckets"] > 0
+
+    # ground truth: one direct execution of the same pipeline
+    rep = dd.DropReport()
+    ds = dd.simhash_pairs(
+        rd.read_parquet(docs), max_bucket=8, drop_report=rep
+    ).materialize()
+    truth = rep.get()
+    assert line["dropped_buckets"] == truth["dropped_buckets"]
+    assert line["dropped_docs"] == truth["dropped_docs"]
+    assert line["rows"] == ds.count()

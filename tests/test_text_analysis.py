@@ -101,3 +101,22 @@ def test_fingerprint(ds):
     )
     out2 = fingerprint(rd.from_arrow(t2)).to_pandas()
     assert out2["fp"].iloc[0] == out.loc[0, "fp"]
+
+
+def test_quality_null_text(ray_session):
+    """Null text rows score like empty strings — no NaN->INT64_MIN
+    poisoning through the count_substring_regex int64 cast."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": pa.array(["plain words here", None]),
+        }
+    )
+    out = quality_score(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_tokens"] == 0
+    assert out.loc[1, "punct_ratio"] == 0.0
+    assert 0.0 <= out.loc[1, "quality"] <= 1.0
+    # identical to the empty-string row semantics
+    t2 = t.set_column(1, "text", pa.array(["plain words here", ""]))
+    out2 = quality_score(rd.from_arrow(t2)).to_pandas().set_index("doc_id")
+    assert out.loc[1].equals(out2.loc[1])

@@ -8,6 +8,9 @@ operators are Ray-Data-native:
             the canonical hash-partition + per-group-first.
 - ngram:    word n-gram shingles → inverted shingle index (groupby) →
             candidate pairs from co-occurrence → exact Jaccard.
+            EXACT/ORACLE ROUTE ONLY: quadratic worst case on template-
+            heavy corpora; refuses > NGRAM_MAX_DOCS docs (override with
+            max_docs=None) — minhash is the scale route.
 - minhash:  shingles → k minhash permutations → banded LSH buckets →
             candidates from bucket groupby → exact-Jaccard verify.
 - simhash:  64-bit simhash over token features → 4-band blocking →
@@ -597,19 +600,44 @@ def bucket_pairs(
     )
 
 
+#: ngram_jaccard_pairs refuses corpora above this size unless forced —
+#: raw shingle co-occurrence is quadratic in the worst case (template-
+#: heavy corpora), so the exact path must not become the accidental
+#: 100-TB route; minhash_lsh_pairs is the scale route.
+NGRAM_MAX_DOCS = 5_000_000
+
+
 def ngram_jaccard_pairs(
     ds: rd.Dataset,
     threshold: float = 0.8,
     n: int = 3,
     max_bucket: int = 256,
     drop_report: DropReport | None = None,
+    max_docs: int | None = NGRAM_MAX_DOCS,
 ) -> rd.Dataset:
     """Pairs (a < b) with Jaccard(n-gram shingle sets) >= threshold.
 
     shingle → groupby(shingle) candidate pairs → groupby(pair) count =
     |A∩B|; |A∪B| recovered by hash-joining the per-doc shingle-count
     table back onto the pairs (both sides stay distributed — no
-    driver-side size map).  ``drop_report`` surfaces over-cap buckets."""
+    driver-side size map).  ``drop_report`` surfaces over-cap buckets.
+
+    This is the EXACT (small-corpus / oracle) route: candidate pairs
+    come from raw shingle co-occurrence, whose worst case is quadratic
+    on template-heavy corpora (measured 4.4-10.9k docs/s at 1.2M docs
+    vs minhash's 71.5k).  Corpora larger than ``max_docs`` are refused
+    with a pointer to ``minhash_lsh_pairs`` — pass ``max_docs=None``
+    to force the exact path anyway."""
+    if max_docs is not None:
+        n_docs = ds.count()
+        if n_docs > max_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs: corpus has {n_docs:,} docs > "
+                f"max_docs={max_docs:,}; raw shingle co-occurrence is "
+                "quadratic in the worst case. Use minhash_lsh_pairs "
+                "(the LSH-bucketed scale route, exact-Jaccard verified) "
+                "or pass max_docs=None to force the exact path."
+            )
     sh = ds.map_batches(
         lambda b: _shingle_rows(b, n), batch_format="pyarrow", batch_size=16384
     )

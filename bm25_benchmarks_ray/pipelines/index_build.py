@@ -169,6 +169,38 @@ def _group_doc_range(
         if lo is None:
             return None
         return (int(lo), int(hi) + 1) if int(hi) + 1 - int(lo) == g_rows else None
+    return _transcripts_doc_range(g_files, g_rows, offsets)
+
+
+def _group_doc_bounds(g_files: list[str]) -> tuple[int, int] | None:
+    """Bounding [min_id, max_id+1) of a documents-mode group from
+    parquet column statistics (no data IO) — unlike _group_doc_range it
+    does NOT require contiguity, so it is always usable for append
+    overlap VALIDATION (conservative: a hole inside the bound makes the
+    check stricter, never unsafe).  None when stats are missing."""
+    lo, hi = None, None
+    for f in g_files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            ci = [md.schema.column(i).name for i in range(md.num_columns)].index(
+                "doc_id"
+            )
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or st.min is None:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    return (int(lo), int(hi) + 1)
+
+
+def _transcripts_doc_range(
+    g_files: list[str], g_rows: int, offsets: pd.DataFrame | None
+) -> tuple[int, int] | None:
     # transcripts: doc_id = base[conv] + turn rank
     from ..stages.docids import offsets_are_dense
 
@@ -416,6 +448,11 @@ def build_index(
         _timing(f"group{gid}.metrics", t1)
         t1 = time.perf_counter()
         rng = _group_doc_range(g_files, g_rows, mode, offsets)
+        bnd = (
+            rng
+            if rng is not None
+            else (_group_doc_bounds(g_files) if mode == "documents" else None)
+        )
         _timing(f"group{gid}.doc_range", t1)
         with man_lock:
             man.mark_group(
@@ -424,6 +461,8 @@ def build_index(
                 n_docs=g_rows,
                 doc_lo=rng[0] if rng else None,
                 doc_hi=rng[1] if rng else None,
+                doc_bound_lo=bnd[0] if bnd else None,
+                doc_bound_hi=bnd[1] if bnd else None,
                 two_level=two_level,
                 wall_s=round(time.perf_counter() - t0, 3),
                 **metrics,
@@ -549,26 +588,39 @@ def append_index(
         sub_rows = [rows[i] for i in new_i]
         groups = _plan_groups(sub_files, sub_rows, None, overlap=1)
         base_gid = 1 + max(int(g) for g in man.groups)
-        old_ranges = [
-            (e["doc_lo"], e["doc_hi"])
-            for e in man.groups.values()
-            if e.get("doc_lo") is not None
-        ]
+        # bounding ranges (doc_bound_*) validate even non-contiguous
+        # groups — e.g. a compacted group whose folded ids have holes
+        old_ranges = []
+        for e in man.groups.values():
+            if e.get("doc_lo") is not None:
+                old_ranges.append((e["doc_lo"], e["doc_hi"]))
+            elif e.get("doc_bound_lo") is not None:
+                old_ranges.append((e["doc_bound_lo"], e["doc_bound_hi"]))
+        # validate EVERY planned group's doc range BEFORE mutating the
+        # manifest: a rejected append must leave the index exactly as
+        # found (finalized), not cleared-and-aborted
+        g_plans = []
+        for off, file_idx in enumerate(groups):
+            g_files = [sub_files[i] for i in file_idx]
+            g_rows = sum(sub_rows[i] for i in file_idx)
+            rng = _group_doc_range(g_files, g_rows, "documents", None)
+            bnd = rng if rng is not None else _group_doc_bounds(g_files)
+            # validate against the BOUNDING range: non-contiguous inputs
+            # must not bypass the disjointness contract
+            chk = bnd or rng
+            for lo, hi in old_ranges:
+                if chk is not None and chk[0] < hi and lo < chk[1]:
+                    raise ValueError(
+                        f"new doc_id range {chk} overlaps existing group [{lo}, {hi})"
+                    )
+            g_plans.append((g_files, g_rows, rng, bnd))
         # clear finalize BEFORE any new postings land: stale global stats
         # must not masquerade as current if we crash mid-append
         man.stages.pop("finalize", None)
         man.save()
-        for off, file_idx in enumerate(groups):
+        for off, (g_files, g_rows, rng, bnd) in enumerate(g_plans):
             gid = base_gid + off
             t0 = time.perf_counter()
-            g_files = [sub_files[i] for i in file_idx]
-            g_rows = sum(sub_rows[i] for i in file_idx)
-            rng = _group_doc_range(g_files, g_rows, "documents", None)
-            for lo, hi in old_ranges:
-                if rng is not None and rng[0] < hi and lo < rng[1]:
-                    raise ValueError(
-                        f"new doc_id range {rng} overlaps existing group [{lo}, {hi})"
-                    )
             nblocks = min(_shuffle_partitions(cfg), max(1, g_rows // 1000))
             ds = rd.read_parquet(
                 g_files, columns=["doc_id", "text"], override_num_blocks=nblocks
@@ -584,6 +636,8 @@ def append_index(
                 n_docs=g_rows,
                 doc_lo=rng[0] if rng else None,
                 doc_hi=rng[1] if rng else None,
+                doc_bound_lo=bnd[0] if bnd else None,
+                doc_bound_hi=bnd[1] if bnd else None,
                 two_level=g_rows > cfg.salt_range * 64,
                 wall_s=round(time.perf_counter() - t0, 3),
                 **metrics,
@@ -662,18 +716,18 @@ def compact_index(
     ds = rd.read_parquet(seg_files)
 
     def add_d0(batch: pa.Table) -> pa.Table:
-        col = batch.column("blk_doc0")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        d0 = np.fromiter(
-            (
-                int(np.frombuffer(col[i].as_buffer()[:8], dtype=np.int64)[0])
-                if len(col[i].as_buffer()) else -1
-                for i in range(batch.num_rows)
-            ),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        # first block-doc0 per row, gathered straight off the Arrow data
+        # buffer (one fancy-index over 8 bytes/row) — no per-row
+        # generator, no per-row buffer objects
+        from ..stages.segments import binary_join_zero_copy
+
+        view, offs = binary_join_zero_copy(batch.column("blk_doc0"))
+        d0 = np.full(batch.num_rows, -1, dtype=np.int64)
+        nz = np.flatnonzero(np.diff(offs) > 0)
+        if nz.size:
+            u8 = np.frombuffer(view, dtype=np.uint8)
+            first8 = u8[offs[nz][:, None] + np.arange(8)]
+            d0[nz] = np.ascontiguousarray(first8).view(np.int64).ravel()
         return batch.append_column("d0", pa.array(d0, type=pa.int64()))
 
     # width from segment ROWS (one per term per group), floor 2: explicit
@@ -712,6 +766,19 @@ def compact_index(
         spans.sort()
         if all(a[1] == b[0] for a, b in zip(spans, spans[1:])):
             lo, hi = spans[0][0], spans[-1][1]
+    # bounding range survives even when the folded ids have holes —
+    # future appends validate disjointness against it (conservative)
+    bspans = [
+        (
+            e["doc_lo"] if e.get("doc_lo") is not None else e.get("doc_bound_lo"),
+            e["doc_hi"] if e.get("doc_lo") is not None else e.get("doc_bound_hi"),
+        )
+        for e in entries
+    ]
+    blo = bhi = None
+    if all(s[0] is not None for s in bspans):
+        blo = min(s[0] for s in bspans)
+        bhi = max(s[1] for s in bspans)
     final_dir = os.path.join(index_dir, SEGMENTS_DIR, f"group={new_gid}")
     # atomic swap: stash the old group, promote the merged one, then
     # drop the other sources; a crash in between leaves extra dirs that
@@ -731,6 +798,8 @@ def compact_index(
         n_docs=sum(e["n_docs"] for e in entries),
         doc_lo=lo,
         doc_hi=hi,
+        doc_bound_lo=blo,
+        doc_bound_hi=bhi,
         two_level=any(e.get("two_level") for e in entries),
         wall_s=round(time.perf_counter() - t0, 3),
         compacted_from=gids,

@@ -6,27 +6,36 @@ slices the token stream into ``capacity``-token bins (documents may
 straddle bin boundaries).  ``pack_offsets`` computes, per document, its
 global token span and the bins it lands in — the metadata a packed
 dataloader needs to fetch exactly the right documents per bin — as a
-DISTRIBUTED PREFIX SUM, with no sort and no driver-side row loop:
+DISTRIBUTED PREFIX SUM, with no sort-aggregate, no driver-side row
+loop, and no whole-corpus ``materialize()``:
 
-1. one ``map_batches`` pass counts tokens per doc (vectorized regex),
-2. docs are bucketed by ``doc_id // bucket_size``; a tiny
-   ``groupby(bucket).sum`` yields per-bucket token totals (one row per
-   bucket — at 10^12 docs and bucket_size 2^20 that is ~10^6 rows),
-3. the driver cumsums the bucket totals (megabytes, not data-scale) and
-   broadcasts the base-offset map via ``ray.put``,
-4. ``groupby(bucket).map_groups`` computes each doc's local prefix
-   inside its bucket (numpy cumsum over doc_id order) + bucket base.
+1. phase 1 (totals): one streaming pass counts tokens per doc
+   (vectorized regex) and collapses to per-bucket partial sums INSIDE
+   the same UDF — only (bucket, tok) rows leave each task (one row per
+   bucket touched per block; at 10^12 docs and bucket_size 2^20 the
+   driver reduce sees ~10^6 rows).  The driver cumsums the bucket
+   totals and broadcasts them as two sorted numpy arrays via
+   ``ray.put`` (searchsorted lookup — no GB-scale Python dict).
+2. phase 2 (offsets): the per-doc counts are recomputed (a second
+   streaming text pass — nothing data-scale is retained between the
+   phases; the alternative is pinning 24 bytes/doc of counts in the
+   object store, ~24 TB at 10^12 docs), hash-sorted on the bucket with
+   explicit uint64 boundaries (``windows._hash_sorted`` — every bucket
+   lands wholly inside one partition), and ONE whole-partition numpy
+   kernel emits every doc's span: local cumsum rebased at bucket
+   starts + the broadcast bucket base.  NOT
+   ``groupby(bucket).map_groups``: that dispatches one Python UDF and
+   builds one pandas frame PER BUCKET (the per-group-dispatch trap
+   windows.py documents).
 
-Every data-scale step streams; the only driver-side state is one int64
-per bucket.  The concat order is doc_id ascending — deterministic and
-exactly replicable with an ANSI window function, so the operator is
+The concat order is doc_id ascending — deterministic and exactly
+replicable with an ANSI window function, so the operator is
 DuckDB-oracle-checkable end to end.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -45,13 +54,59 @@ def pack_offsets(
     doc_id-ordered concatenation, whitespace token counts, bins of
     ``capacity`` tokens.  Zero-token docs get an empty span with
     last_bin == first_bin."""
+    from .text_analysis import _regex_count
+    from .windows import _hash_sorted
 
-    def count(batch: pa.Table) -> pa.Table:
-        from .text_analysis import _regex_count
+    docs = ds.select_columns([id_col, text_col])
 
+    # -- phase 1: per-bucket token totals (count + collapse fused) ----
+    def bucket_sums(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
-        # Arrow count_substring_regex for ASCII rows, exact Python re
-        # for non-ASCII rows — same values, no per-doc findall loop
+        n = _regex_count(batch.column(text_col), r"\S+", WS_RE)
+        ub, inv = np.unique(ids // bucket_size, return_inverse=True)
+        tok = np.zeros(ub.size, dtype=np.int64)
+        np.add.at(tok, inv, n)
+        return pa.table(
+            {
+                "bucket": pa.array(ub, type=pa.int64()),
+                "tok": pa.array(tok, type=pa.int64()),
+            }
+        )
+
+    partials = pa.concat_tables(
+        docs.map_batches(bucket_sums, batch_format="pyarrow")
+        # coalescing combine: fold ~8k partial rows per task so the
+        # driver reduce sees O(buckets) rows, never O(buckets x blocks)
+        .map_batches(
+            lambda t: pa.TableGroupBy(t, "bucket")
+            .aggregate([("tok", "sum")])
+            .rename_columns(["bucket", "tok"]),
+            batch_format="pyarrow",
+            batch_size=8192,
+        ).iter_batches(batch_format="pyarrow")
+    )
+    pb = partials.column("bucket").to_numpy()
+    pt = partials.column("tok").to_numpy()
+    order = np.argsort(pb, kind="stable")
+    pb, pt = pb[order], pt[order]
+    # final reduce of the (already tiny) partials: sum per bucket run
+    if pb.size:
+        newb = np.empty(pb.size, dtype=bool)
+        newb[0] = True
+        newb[1:] = pb[1:] != pb[:-1]
+        starts = np.flatnonzero(newb)
+        bkeys = pb[starts]
+        btot = np.add.reduceat(pt, starts)
+    else:
+        bkeys = np.empty(0, dtype=np.int64)
+        btot = np.empty(0, dtype=np.int64)
+    bbase = np.concatenate(([0], np.cumsum(btot)))[:-1].astype(np.int64)
+    # broadcast as sorted arrays + searchsorted, not a Python dict
+    base_ref = ray.put((bkeys.astype(np.int64), bbase))
+
+    # -- phase 2: per-doc spans via whole-partition prefix kernel -----
+    def count(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
         n = _regex_count(batch.column(text_col), r"\S+", WS_RE)
         return pa.table(
             {
@@ -61,51 +116,56 @@ def pack_offsets(
             }
         )
 
-    counts = ds.select_columns([id_col, text_col]).map_batches(
-        count, batch_format="pyarrow"
-    ).materialize()  # two consumers below; counts is 3 ints per doc
-    # (24 bytes/doc ≈ 0.2% of a text corpus — "small result" scale; the
-    # alternative is recomputing the text pass for the second consumer)
-
-    def bucket_sums(batch: pa.Table) -> pa.Table:
-        # per-batch combiner: one row per (block, bucket) leaves the task
-        g = pa.TableGroupBy(batch.select(["bucket", "n_tok"]), "bucket").aggregate(
-            [("n_tok", "sum")]
-        )
-        return g.rename_columns(["bucket", "tok"])
-
-    # partial per-bucket sums -> driver cumsum.  No Ray sort-aggregate:
-    # the partials are ~|blocks|x|buckets-per-block| rows (contiguous
-    # ids touch few buckets per block), and the final reduce is one
-    # pandas groupby over at most ~|buckets| rows (one int64 per 2^20
-    # ids at the default bucket_size)
-    partials = counts.map_batches(
-        bucket_sums, batch_format="pyarrow", batch_size=None
-    ).to_pandas()
-    totals = (
-        partials.groupby("bucket", sort=True)["tok"].sum().reset_index()
+    _empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "n_tok": pa.array([], type=pa.int64()),
+            "start_tok": pa.array([], type=pa.int64()),
+            "end_tok": pa.array([], type=pa.int64()),
+            "first_bin": pa.array([], type=pa.int64()),
+            "last_bin": pa.array([], type=pa.int64()),
+        }
     )
-    base = np.concatenate(([0], np.cumsum(totals["tok"].to_numpy())))[:-1]
-    base_ref = ray.put(dict(zip(totals["bucket"].astype(np.int64), base)))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        bases = ray.get(base_ref)
-        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        n = g["n_tok"].to_numpy(dtype=np.int64)
-        end = np.cumsum(n) + int(bases[g["bucket"].iloc[0]])
+    def all_buckets(tbl: pa.Table) -> pa.Table:
+        """Every bucket in the sorted partition in ONE numpy pass."""
+        if tbl.num_rows == 0:
+            return _empty
+        keys, bases = ray.get(base_ref)
+        ids = tbl.column(id_col).to_numpy()
+        n = tbl.column("n_tok").to_numpy()
+        b = tbl.column("bucket").to_numpy()
+        order = np.lexsort((ids, b))
+        ids, n, b = ids[order], n[order], b[order]
+        m = b.size
+        newb = np.empty(m, dtype=bool)
+        newb[0] = True
+        newb[1:] = b[1:] != b[:-1]
+        bstart = np.flatnonzero(newb)
+        runlen = np.diff(np.append(bstart, m))
+        cs = np.cumsum(n)
+        # local end offset within each bucket: global cumsum rebased at
+        # the bucket's first row
+        seg0 = np.repeat(cs[bstart] - n[bstart], runlen)
+        base = bases[np.searchsorted(keys, b[bstart])]
+        end = cs - seg0 + np.repeat(base, runlen)
         start = end - n
         first_bin = start // capacity
         # an empty doc sits AT start; a non-empty doc's last token is end-1
         last_bin = np.where(n > 0, (end - 1) // capacity, first_bin)
-        return pd.DataFrame(
+        return pa.table(
             {
-                id_col: g[id_col].to_numpy(dtype=np.int64),
-                "n_tok": n,
-                "start_tok": start,
-                "end_tok": end,
-                "first_bin": first_bin,
-                "last_bin": last_bin,
+                id_col: pa.array(ids, type=pa.int64()),
+                "n_tok": pa.array(n, type=pa.int64()),
+                "start_tok": pa.array(start, type=pa.int64()),
+                "end_tok": pa.array(end, type=pa.int64()),
+                "first_bin": pa.array(first_bin, type=pa.int64()),
+                "last_bin": pa.array(last_bin, type=pa.int64()),
             }
         )
 
-    return counts.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    counts = docs.map_batches(count, batch_format="pyarrow")
+    sorted_ds = _hash_sorted(counts, "bucket", [id_col])
+    return sorted_ds.map_batches(
+        all_buckets, batch_format="pyarrow", batch_size=None
+    )

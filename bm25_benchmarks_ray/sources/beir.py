@@ -136,7 +136,10 @@ def beir_corpus_to_parquet(
 
     n = ds.count()
     if n <= driver_side_rows:
-        # small path: rank the id column driver-side, broadcast the map
+        # small path: rank the id column driver-side, broadcast the
+        # SORTED Arrow array (compact buffers, no GB-scale Python dict
+        # — the dedup._broadcast_attach shape); each task maps ids with
+        # one C-kernel hash lookup whose position IS the rank
         ids = ds.select_columns(["ext_id"]).to_pandas()["ext_id"]
         order = pd.Index(sorted(ids))
         docmap = pd.DataFrame(
@@ -146,15 +149,18 @@ def beir_corpus_to_parquet(
             pa.Table.from_pandas(docmap, preserve_index=False),
             os.path.join(out_dir, DOCMAP_FILE),
         )
-        rank_ref = ray.put(dict(zip(docmap["ext_id"], docmap["doc_id"])))
+        rank_ref = ray.put(pa.array(order, type=pa.string()))
 
         def add_ids(batch: pa.Table) -> pa.Table:
-            rank = ray.get(rank_ref)
-            ids_np = pd.Series(batch.column("ext_id").to_pylist())
-            doc_id = ids_np.map(rank).to_numpy(dtype=np.int64)
+            import pyarrow.compute as pc
+
+            sorted_ids = ray.get(rank_ref)
+            doc_id = pc.index_in(
+                batch.column("ext_id"), value_set=sorted_ids
+            ).cast(pa.int64())
             return pa.table(
                 {
-                    "doc_id": pa.array(doc_id, type=pa.int64()),
+                    "doc_id": doc_id,
                     "text": batch.column("text"),
                 }
             )

@@ -314,26 +314,51 @@ def segment_rows_by_term(seg: pa.Table) -> dict[str, list[dict]]:
     return out
 
 
+def binary_join_zero_copy(col) -> tuple[memoryview, np.ndarray]:
+    """Concatenate a binary column's row values WITHOUT materializing
+    per-row Python bytes objects: an Arrow BinaryArray stores its row
+    values contiguously in the data buffer, so the join is one buffer
+    slice.  Returns (memoryview of the joined bytes, int64 per-row
+    start offsets rebased to zero, num_rows+1 entries).  Slices of the
+    returned memoryview are zero-copy and accepted by
+    ``pa.array(..., type=pa.binary())``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return memoryview(b""), np.zeros(1, dtype=np.int64)
+    raw_off = np.frombuffer(col.buffers()[1], dtype=np.int32)
+    offs = raw_off[col.offset : col.offset + n + 1].astype(np.int64)
+    data_buf = col.buffers()[2]
+    if data_buf is None:
+        return memoryview(b""), np.zeros(n + 1, dtype=np.int64)
+    view = memoryview(data_buf)[offs[0] : offs[-1]]
+    return view, offs - offs[0]
+
+
 def _decode_run_block(
     tbl: pa.Table,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, bytes, bytes]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, memoryview, memoryview]:
     """Decode EVERY run row in a block with one varint pass per stream:
     (df int64[], doc, tf, dl, joined_tf_bytes, joined_dl_bytes) in row
     order.  Absolute doc ids come from a segmented cumsum (each run's
     first gap is absolute, so docs = csum - repeat(csum_before_run)).
-    The joined tf/dl buffers are returned so the ordered merge path can
-    re-slice them without re-encoding (our LEB128 is canonical, so
-    encode(decode(buf)) == buf)."""
+    The joined tf/dl buffers are zero-copy memoryviews over the Arrow
+    data buffers (binary_join_zero_copy — no per-row bytes objects),
+    returned so the ordered merge path can re-slice them without
+    re-encoding (our LEB128 is canonical, so encode(decode(buf)) ==
+    buf)."""
     df = tbl.column("df").to_numpy().astype(np.int64)
-    gaps = varint_decode(b"".join(tbl.column("doc_ids").to_pylist()))
+    dview, _ = binary_join_zero_copy(tbl.column("doc_ids"))
+    gaps = varint_decode(np.frombuffer(dview, dtype=np.uint8))
     csum = np.cumsum(gaps.astype(np.int64))
     starts = np.concatenate(([0], np.cumsum(df)[:-1]))
     base = csum[starts] - gaps[starts].astype(np.int64)
     doc = csum - np.repeat(base, df)
-    tbuf = b"".join(tbl.column("tfs").to_pylist())
-    lbuf = b"".join(tbl.column("dls").to_pylist())
-    tf = varint_decode(tbuf).astype(np.int64)
-    dl = varint_decode(lbuf).astype(np.int64)
+    tbuf, _ = binary_join_zero_copy(tbl.column("tfs"))
+    lbuf, _ = binary_join_zero_copy(tbl.column("dls"))
+    tf = varint_decode(np.frombuffer(tbuf, dtype=np.uint8)).astype(np.int64)
+    dl = varint_decode(np.frombuffer(lbuf, dtype=np.uint8)).astype(np.int64)
     return df, doc, tf, dl, tbuf, lbuf
 
 

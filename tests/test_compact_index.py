@@ -91,3 +91,39 @@ def test_append_then_compact(ray_session, tmp_path):
     assert _topk(idx)[["qid", "doc_id", "rank"]].equals(
         before[["qid", "doc_id", "rank"]]
     )
+
+
+def test_compact_preserves_overlap_validation(ray_session, tmp_path):
+    """A compacted group with HOLES in its id space must still refuse an
+    overlapping append (bounding range survives compaction), and a
+    REJECTED append must leave the index complete and queryable."""
+    import pyarrow.parquet as pq
+
+    from bm25_benchmarks_ray.state.manifest import Manifest
+
+    t = pq.read_table(SRC, columns=["doc_id", "text"])
+    import pyarrow.compute as pc
+
+    lo = t.slice(0, 200)  # ids 0..199
+    hi = t.slice(200, 200).set_column(  # ids shifted to 1000..1199 (hole)
+        0, "doc_id", pc.add(t.slice(200, 200).column("doc_id"), 800)
+    )
+    a, b, c = (str(tmp_path / n) for n in ("a.parquet", "b.parquet", "c.parquet"))
+    pq.write_table(lo, a)
+    pq.write_table(hi, b)
+    pq.write_table(t.slice(50, 100), c)  # ids 50..149: inside the bound
+
+    idx = str(tmp_path / "idx")
+    build_index(a, idx, IndexConfig(), mode="documents", fresh=True)
+    append_index(b, idx, IndexConfig())
+    man = compact_index(idx)
+    e = man.groups[str(man.done_groups()[0])]
+    assert e["doc_lo"] is None  # holes: no exact contiguous range
+    assert e["doc_bound_lo"] == 0 and e["doc_bound_hi"] == 1200
+
+    with pytest.raises(ValueError, match="overlaps"):
+        append_index(c, idx, IndexConfig())
+    # the rejected append left the index finalized and queryable
+    man2 = Manifest.load(idx)
+    assert man2.is_complete() and "finalize" in man2.stages
+    assert _topk(idx).shape[0] > 0

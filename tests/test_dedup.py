@@ -191,3 +191,25 @@ def test_token_codes_fast_path_matches_python_re():
     # mixed hit/miss probe
     mixed = np.concatenate([uniq[:2], np.array(["zzunseen1", "zzunseen2"], dtype=object)])
     assert (c.lookup(mixed) == md5_u64(list(mixed))).all()
+
+
+def test_ngram_refuses_oversized_corpus(ray_session):
+    """The exact ngram path is the oracle route — above max_docs it
+    must refuse (quadratic worst case) and point at minhash_lsh_pairs."""
+    import pytest
+    import ray.data as rd
+
+    from bm25_benchmarks_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(100), type=pa.int64()),
+            "text": pa.array([f"doc number {i} words" for i in range(100)]),
+        }
+    )
+    ds = rd.from_arrow(t)
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(ds, max_docs=50)
+    # forcing the exact path still works
+    out = ngram_jaccard_pairs(ds, max_docs=None)
+    assert out.count() >= 0

@@ -32,6 +32,21 @@ CACHE_ROOT = "/tmp/bm25rd/index_cache"
 
 # BM25 pipelines checked against DuckDB: no stemmer (see module doc).
 SQL_CFG = IndexConfig(stopwords="en", stemmer="none")
+# the stemmed pipeline (the reference's default config) — its oracle
+# maps terms to stems via the inline _stem_map_values() VALUES list
+STEMMED_CFG = IndexConfig(stopwords="en", stemmer="snowball")
+
+# Full regex-token vocabulary of the deterministic testdata documents
+# tables (30 words, identical across sf0.001/0.01/0.1 — verified by
+# enumeration).  The stemmed SQL oracle LEFT-joins stems of this list;
+# a term outside it maps to itself and the value-hash fails — so a
+# vocabulary drift in future testdata is loud, never silent.
+_DOC_VOCAB = [
+    "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
 
 # Fixed query set over the documents-table vocabulary: multi-term,
 # repeated-term (occurrence weighting), stopword-bearing, and an
@@ -159,6 +174,36 @@ def q_bm25_topk(sf_dir: str, method: str, k: int = 10):
         join_back=False,
     ).to_pandas()
     # deterministic cross-engine ranking: rounded score desc, doc_id asc
+    res["score"] = res["score"].round(6)
+    res = res.sort_values(["qid", "score", "doc_id"], ascending=[True, False, True])
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    return pa.table(
+        {
+            "qid": pa.array(res["qid"], type=pa.string()),
+            "doc_id": pa.array(res["doc_id"], type=pa.int64()),
+            "rank": pa.array(res["rank"].astype(np.int64)),
+            "score": pa.array(res["score"], type=pa.float64()),
+        }
+    )
+
+
+def q_bm25_topk_stemmed(sf_dir: str, method: str = "lucene", k: int = 10):
+    """The stemmed pipeline — the reference's DEFAULT configuration
+    (/root/reference/benchmark/on_bm25s.py:80-87 runs Snowball) — under
+    the driver's value-hash check.  DuckDB has no Snowball, so the SQL
+    oracle joins an inline (term, stem) map over the documents tables'
+    fixed 30-word vocabulary (stems computed by the vendored Porter2 at
+    import time); an unmapped term falls back to identity in the SQL
+    and FAILS the hash — fail-loud on any vocabulary drift."""
+    idx = documents_index(sf_dir, cfg=STEMMED_CFG)
+    res = search(
+        idx,
+        DOC_QUERIES,
+        params=BM25Params(method=method),
+        k=k,
+        cfg=STEMMED_CFG,
+        join_back=False,
+    ).to_pandas()
     res["score"] = res["score"].round(6)
     res = res.sort_values(["qid", "score", "doc_id"], ascending=[True, False, True])
     res["rank"] = res.groupby("qid").cumcount() + 1
@@ -564,6 +609,40 @@ stats AS (
            / (SELECT count(*) FROM documents) AS avgdl
 )"""
 
+# stemmed variant: stopword filter BEFORE stemming (the reference's
+# order, /root/reference/utils/__init__.py:88-111); stems from the
+# inline Porter2 map, identity fallback fails the hash on vocab drift
+STEMMED_TOKENS_CTE = """
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w\\w+')) AS term
+  FROM documents
+),
+kept0 AS (
+  SELECT doc_id, term FROM tok WHERE term NOT IN ({sw})
+),
+smap(term, stem) AS (VALUES
+    {smap}
+),
+kept AS (
+  SELECT k.doc_id, coalesce(m.stem, k.term) AS term
+  FROM kept0 k LEFT JOIN smap m ON m.term = k.term
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM kept GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM kept GROUP BY doc_id
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM kept GROUP BY term
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
+         (SELECT count(*) FROM kept)::BIGINT AS total_len,
+         (SELECT count(*) FROM kept)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+)"""
+
 
 def _idf_sql(method: str, epsilon: float = 0.0) -> str:
     n, df = "stats.num_docs", "dfreq.df"
@@ -602,27 +681,50 @@ def _s0(method: str, k1: float, delta: float) -> float:
     return 0.0
 
 
-def _query_values_sql() -> str:
+def _query_values_sql(stemmed: bool = False) -> str:
     """(qid, term, w) VALUES rows: the fixed query set tokenized with the
-    same no-stem pipeline, occurrence-weighted."""
+    same pipeline as the corpus side (stemmed or not),
+    occurrence-weighted."""
+    from .functions.porter2 import stem as porter2_stem
+
     rows = []
     for qid, text in DOC_QUERIES:
         for term, w in Counter(
-            tokenize_text(text, stopwords=STOPWORDS_EN, stemmer=None)
+            tokenize_text(
+                text,
+                stopwords=STOPWORDS_EN,
+                stemmer=porter2_stem if stemmed else None,
+            )
         ).items():
             rows.append(f"('{qid}', '{term}', {w})")
     return ",\n    ".join(rows)
 
 
-def bm25_topk_sql(method: str, k: int = 10) -> str:
+def _stem_map_values() -> str:
+    """(term, stem) VALUES over the testdata vocabulary, stems from the
+    vendored Porter2 (the same stemmer the distributed pipeline runs
+    per-token) — the SQL-side replacement for DuckDB's missing Snowball."""
+    from .functions.porter2 import stem as porter2_stem
+
+    return ",\n    ".join(f"('{t}', '{porter2_stem(t)}')" for t in _DOC_VOCAB)
+
+
+def bm25_topk_sql(method: str, k: int = 10, stemmed: bool = False) -> str:
     p = BM25Params(method=method)
     s0 = _s0(method, p.k1, p.delta)
     idf = _idf_sql(method, p.epsilon)
     shape = _shape_sql(method, p.k1, p.b, p.delta)
+    tokens_cte = (
+        STEMMED_TOKENS_CTE.replace("{sw}", _STOPWORDS_SQL).replace(
+            "{smap}", _stem_map_values()
+        )
+        if stemmed
+        else TOKENS_CTE
+    )
     return f"""
-WITH {TOKENS_CTE},
+WITH {tokens_cte},
 qterms(qid, term, w) AS (VALUES
-    {_query_values_sql()}
+    {_query_values_sql(stemmed)}
 ),
 qconst AS (
   SELECT q.qid, coalesce(sum(q.w * {idf}), 0.0) * {s0} AS c
@@ -1049,6 +1151,9 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk_bm25l": bm25_topk_sql("bm25l"),
     "bm25_topk_bm25plus": bm25_topk_sql("bm25+"),
     "bm25_topk_okapi": bm25_topk_sql("okapi"),
+    # the stemmed pipeline (the reference's default): Snowball via the
+    # inline Porter2 stem map — closes the last driver-unseen semantics
+    "bm25_topk_lucene_stemmed": bm25_topk_sql("lucene", stemmed=True),
     "bm25_served_lucene": bm25_topk_sql("lucene"),
     "dedup_exact": DEDUP_EXACT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
@@ -1105,6 +1210,7 @@ def build_queries() -> dict:
         ("bm25_topk_okapi", "okapi"),
     ]:
         q[name] = (lambda m: lambda sf_dir: q_bm25_topk(sf_dir, m))(method)
+    q["bm25_topk_lucene_stemmed"] = q_bm25_topk_stemmed
     q["bm25_served_lucene"] = q_bm25_served
     q.update(
         {

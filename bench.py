@@ -165,6 +165,17 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
                 "index_large_turns_per_s": round(sf_to_n_turns(large_sf) / el, 1),
             }
 
+        # training-data extension operators at fixed scale (VERDICT r3
+        # item 8): structured rows so round-over-round deltas are
+        # machine-comparable, not BASELINE.md prose.  One rep each —
+        # these are secondary to the headline index/query numbers.
+        ext = {}
+        if not quick and os.environ.get("GRAFT_BENCH_EXT", "1") == "1":
+            ext = run_ext_bench(
+                docs_sf=float(os.environ.get("GRAFT_BENCH_EXT_SF", "1.0")),
+                n_events=int(os.environ.get("GRAFT_BENCH_EXT_EVENTS", "10000000")),
+            )
+
         total = timings["index"] + timings["query"]
         return {
             "metric": "transcripts index build + BM25 top-10 batch query",
@@ -187,9 +198,127 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200, lat_sample: int 
                 "query_served_p99_s": round(float(np.percentile(served, 99)), 4)}
                if not quick else {}),
             **large,
+            **({"ext": ext} if ext else {}),
         }
     finally:
         ray.shutdown()
+
+
+def _events_parquet(n_events: int, n_users: int = 150_000) -> str:
+    """Deterministic synthetic events table cached under /tmp: the fixed
+    input for the window-operator rows (schema matches testdata events)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(BENCH_ROOT, f"events_{n_events}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(BENCH_ROOT, exist_ok=True)
+    rng = np.random.default_rng(42)
+    ts = rng.integers(0, 30 * 86_400 * 1_000_000, n_events, dtype=np.int64)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n_events, dtype=np.int64)),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.integers(0, n_users, n_events, dtype=np.int64)
+            ),
+            "event_type": pa.array(
+                np.array(["click", "view", "purchase"], dtype=object)[
+                    rng.integers(0, 3, n_events)
+                ],
+                type=pa.string(),
+            ),
+            "value": pa.array(rng.random(n_events)),
+        }
+    )
+    pq.write_table(t, path, row_group_size=1 << 20)
+    return path
+
+
+def run_ext_bench(docs_sf: float = 1.0, n_events: int = 10_000_000) -> dict:
+    """Throughput rows for the training-data extension operators at
+    fixed inputs: windows over ``n_events`` synthetic events, dedup /
+    curate / pack over the ``docs_sf`` transcripts corpus re-keyed as a
+    (doc_id, text, source) documents table (doc_id = SipHash of
+    (conv_id, turn_idx) — unique across blocks)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bm25_benchmarks_ray.pipelines import dedup as dd
+    from bm25_benchmarks_ray.pipelines import windows as W
+    from bm25_benchmarks_ray.pipelines.curate import curate
+    from bm25_benchmarks_ray.pipelines.packing import pack_offsets
+    from bm25_benchmarks_ray.sources.transcripts import (
+        sf_to_n_turns,
+        transcripts_dir,
+    )
+
+    out: dict[str, float] = {}
+
+    ev_path = _events_parquet(n_events)
+
+    def ev():
+        return rd.read_parquet(ev_path)
+
+    t0 = time.perf_counter()
+    W.sessionize(ev()).count()
+    out["sessionize_events_per_s"] = round(n_events / (time.perf_counter() - t0), 1)
+    t0 = time.perf_counter()
+    W.tumbling_window(ev()).count()
+    out["tumbling_events_per_s"] = round(n_events / (time.perf_counter() - t0), 1)
+    t0 = time.perf_counter()
+    W.asof_join(ev(), "purchase", "click").count()
+    out["asof_events_per_s"] = round(n_events / (time.perf_counter() - t0), 1)
+
+    n_docs = sf_to_n_turns(docs_sf)
+    corpus = transcripts_dir(docs_sf)
+
+    def docs():
+        ds = rd.read_parquet(corpus, columns=["conv_id", "turn_idx", "text"])
+
+        def rekey(b: pa.Table) -> pa.Table:
+            conv = b.column("conv_id").to_pandas()
+            turn = b.column("turn_idx").to_pandas().astype(str)
+            key = pd.util.hash_array(
+                (conv + ":" + turn).to_numpy(object), categorize=False
+            )
+            n = b.num_rows
+            return pa.table(
+                {
+                    "doc_id": pa.array(key.view(np.int64), type=pa.int64()),
+                    "text": b.column("text"),
+                    "source": pa.array(
+                        np.char.add(
+                            "src", (key % 10).astype(np.uint64).astype(str)
+                        ),
+                        type=pa.string(),
+                    ),
+                }
+            )
+
+        return ds.map_batches(rekey, batch_format="pyarrow")
+
+    t0 = time.perf_counter()
+    dd.exact_dedup(docs()).count()
+    out["dedup_exact_docs_per_s"] = round(n_docs / (time.perf_counter() - t0), 1)
+    t0 = time.perf_counter()
+    dd.minhash_lsh_pairs(docs()).count()
+    out["minhash_docs_per_s"] = round(n_docs / (time.perf_counter() - t0), 1)
+    t0 = time.perf_counter()
+    dd.simhash_pairs(docs()).count()
+    out["simhash_docs_per_s"] = round(n_docs / (time.perf_counter() - t0), 1)
+    t0 = time.perf_counter()
+    curate(docs()).count()
+    out["curate_docs_per_s"] = round(n_docs / (time.perf_counter() - t0), 1)
+    t0 = time.perf_counter()
+    pack_offsets(docs()).count()
+    out["pack_docs_per_s"] = round(n_docs / (time.perf_counter() - t0), 1)
+    out["ext_docs_sf"] = docs_sf
+    out["ext_n_docs"] = n_docs
+    out["ext_n_events"] = n_events
+    return out
 
 
 def run_scaling(sf_dir: str, cpus_lo: int = 4, cpus_hi: int = 16,

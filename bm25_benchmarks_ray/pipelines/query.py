@@ -231,6 +231,66 @@ class _DecodeCache:
         self._off: dict = {}
         self._scaled: dict = {}
         self._nscaled: dict = {}
+        self._gmax: dict = {}
+
+    # fused-decode chunk size in postings: big enough to amortize the
+    # per-call numpy overhead over hundreds of terms, small enough that
+    # the chunk's work arrays (~16 B/posting live at once) stay in L2/L3
+    # — a whole-task fuse was measured PAGE-FAULT-bound (hundreds of MB
+    # of fresh allocations per task cost more than the per-term calls
+    # it removed)
+    PRIME_CHUNK = 1 << 18
+
+    def prime(self, rows: list[dict]) -> None:
+        """Bulk-decode many rows into the cache with one fused varint
+        pass per stream per ~256k-posting chunk
+        (segments.bulk_decode_rows) and one vectorized tf_shape per
+        chunk — replaces thousands of per-term decode_segment +
+        tf_shape calls per task, whose fixed numpy-call overhead
+        dominated pruned-query profiles."""
+        from ..stages.segments import bulk_decode_rows
+
+        rows = [r for r in rows if self._key(r) not in self.data]
+        if not rows:
+            return
+
+        def flush(chunk: list[dict]) -> None:
+            triples = bulk_decode_rows(chunk, self.block_size, self.lo, self.hi)
+            tf_all = np.concatenate([t for _, t, _ in triples])
+            dl_all = np.concatenate([d for _, _, d in triples])
+            base_all = (
+                tf_shape(self.params, tf_all, dl_all, self.avgdl) - self.s0
+                if tf_all.size
+                else tf_all.astype(np.float64)
+            )
+            off = 0
+            for row, (doc, tf, _) in zip(chunk, triples):
+                self.data[self._key(row)] = (doc, base_all[off : off + tf.size])
+                off += tf.size
+
+        chunk: list[dict] = []
+        acc = 0
+        for row in rows:
+            chunk.append(row)
+            acc += row["df"]
+            if acc >= self.PRIME_CHUNK:
+                flush(chunk)
+                chunk, acc = [], 0
+        if chunk:
+            flush(chunk)
+
+    def gmax(self, row: dict) -> float:
+        """Cached max block upper bound (tf_shape(bmax, bmin) - s0) per
+        term part — computed per (query, term) before, ~6 numpy calls
+        per query per term of pure recompute."""
+        key = self._key(row)
+        v = self._gmax.get(key)
+        if v is None:
+            from ..stages.blockmax import term_block_ubs
+
+            ubs = term_block_ubs(row, self.params, self.avgdl, self.s0)
+            v = self._gmax[key] = float(ubs.max()) if ubs.size else 0.0
+        return v
 
     @staticmethod
     def _key(row: dict) -> tuple[str, int]:
@@ -298,6 +358,17 @@ DENSE_MIN_RANGE = int(os.environ.get("GRAFT_DENSE_MIN_RANGE", "1500000"))
 # it is attempted for (16M docs = 144 MB/task) — wider slices keep the
 # sort-based path.
 DENSE_RANGE_CAP = 16_000_000
+# Postings-per-candidate-decode-equivalent: a per-query candidate-block
+# decode costs ~2.3 ms of fixed numpy-call overhead ≈ decoding ~25k
+# postings at the measured ~12M postings/s full-decode rate.
+SHARED_DECODE_C = int(os.environ.get("GRAFT_SHARED_DECODE_C", "25000"))
+# Singleton terms up to this df are bulk-primed (see score_range's
+# decode policy): near-certain to be fully decoded anyway, and priming
+# replaces their per-term decode calls with fused chunk passes.
+PRIME_SINGLE_DF = int(os.environ.get("GRAFT_PRIME_SINGLE_DF", "8000"))
+# Target queries per scatter batch on the pruned path (see search()):
+# fixes total work independent of cluster width.
+QBATCH_TARGET = int(os.environ.get("GRAFT_QBATCH_TARGET", "512"))
 
 
 def score_range(
@@ -327,6 +398,7 @@ def score_range(
 
     q_terms: dict[int, list] = {}
     q_weights: dict[int, list[float]] = {}
+    prime_rows: list[dict] = []
     for term, fanout in plan["term_fanout"].items():
         parts = rows_by_term.get(term)
         if not parts:
@@ -334,10 +406,32 @@ def score_range(
         # a split term's parts have disjoint doc ranges, so scoring each
         # part as its own row with the term's weight is exact (a doc
         # matches at most one part; contributions add)
+        n_use = 0
         for qi, w_idf in fanout:
             if q_lo <= qi < q_hi:
                 q_terms.setdefault(qi, []).extend(parts)
                 q_weights.setdefault(qi, []).extend([w_idf] * len(parts))
+                n_use += 1
+        # decode policy (cost model, tools/prof_query.py): a per-query
+        # candidate-block decode costs a fixed ~2.3 ms of numpy call
+        # overhead ≈ SHARED_DECODE_C postings of bulk decode, so a
+        # SHARED term whose full postings cost less than its batch
+        # uses' worth of candidate decodes is bulk-decoded upfront.
+        # Small SINGLETON terms (df ≤ PRIME_SINGLE_DF) are primed too:
+        # low df → high idf → they lead their query's term order and
+        # get fully decoded anyway, just through thousands of per-term
+        # calls.  Big rarely-used terms keep the block-skip machinery.
+        df_total = sum(p["df"] for p in parts)
+        if (n_use >= 2 and df_total <= n_use * SHARED_DECODE_C) or (
+            df_total <= PRIME_SINGLE_DF
+        ):
+            prime_rows.extend(parts)
+    if (
+        prime_rows
+        and hasattr(decoded, "prime")
+        and os.environ.get("GRAFT_PRIME", "1") == "1"
+    ):
+        decoded.prime(prime_rows)
 
     def emit(qi: int, doc: np.ndarray, score: np.ndarray) -> None:
         if doc.size:
@@ -783,7 +877,21 @@ def search(
         # keep ≥16 queries per batch (per-query python overhead in the
         # pruned scorer dominates below that).
         min_q = 8 if k >= DENSE_K_CUTOFF else 16
-        n_qbatch = min(per_group, max(1, n_q // min_q))
+        if k >= DENSE_K_CUTOFF:
+            n_qbatch = min(per_group, max(1, n_q // min_q))
+        else:
+            # pruned path: batch size is sized by the DATA (~QBATCH
+            # queries/batch), never by cluster width — per-batch work
+            # duplication (each batch re-reads and re-decodes its hot
+            # terms) means width-coupled batch counts make total work
+            # grow with the cluster, a built-in sublinear-scaling
+            # anti-pattern (a small cluster would silently get an
+            # algorithmic advantage a 10^12-doc deployment lacks).
+            # Width only shrinks batches when the job would otherwise
+            # idle cores (small query sets).
+            n_qbatch = max(1, -(-n_q // QBATCH_TARGET))
+            if n_qbatch < per_group:
+                n_qbatch = min(per_group, max(n_qbatch, max(1, n_q // min_q)))
     if n_slices is None:
         n_slices = max(1, -(-per_group // n_qbatch))
         # don't shred small corpora into confetti: a slice under ~64k

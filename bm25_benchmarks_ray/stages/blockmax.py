@@ -95,11 +95,17 @@ def score_query_pruned(
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 
     # global per-term max contribution (w * max block ub); negatives
-    # (negative idf) are forced to the front and never pruned
+    # (negative idf) are forced to the front and never pruned.  The max
+    # block ub is cached per term in full_decode (shared by every query
+    # of the task's batch).
     gmax = np.empty(m, dtype=np.float64)
-    for i, row in enumerate(term_rows):
-        ubs = term_block_ubs(row, params, avgdl, s0)
-        gmax[i] = weights[i] * (ubs.max() if ubs.size else 0.0)
+    if full_decode is not None and hasattr(full_decode, "gmax"):
+        for i, row in enumerate(term_rows):
+            gmax[i] = weights[i] * full_decode.gmax(row)
+    else:
+        for i, row in enumerate(term_rows):
+            ubs = term_block_ubs(row, params, avgdl, s0)
+            gmax[i] = weights[i] * (ubs.max() if ubs.size else 0.0)
     neg = gmax < 0
     order = np.concatenate(
         [np.flatnonzero(neg), np.flatnonzero(~neg)[np.argsort(-gmax[~neg])]]

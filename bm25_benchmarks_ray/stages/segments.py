@@ -260,11 +260,114 @@ def decode_selected_blocks(
         idx = np.repeat(first, lens) + np.arange(total, dtype=np.int64)
         return b[idx]
 
-    gaps = varint_decode(gather(row["doc_ids"], "blk_off_doc"))
-    doc = _blockwise_docs(gaps, block_size)
-    tf = varint_decode(gather(row["tfs"], "blk_off_tf")).view(np.int64)
-    dl = varint_decode(gather(row["dls"], "blk_off_dl")).view(np.int64)
+    # ONE varint decode for all three streams: they carry the same
+    # value count (one per selected posting), so the concatenated
+    # decode splits into exact thirds — candidate decodes are per-call-
+    # overhead-bound (small payloads), and this removes 2 of 3 calls
+    gb = [
+        gather(row["doc_ids"], "blk_off_doc"),
+        gather(row["tfs"], "blk_off_tf"),
+        gather(row["dls"], "blk_off_dl"),
+    ]
+    vals = varint_decode(np.concatenate(gb))
+    p = vals.size // 3
+    doc = _blockwise_docs(vals[:p], block_size)
+    tf = vals[p : 2 * p].view(np.int64)
+    dl = vals[2 * p :].view(np.int64)
     return doc, tf, dl
+
+
+def bulk_decode_rows(
+    rows: list[dict], block_size: int, lo: int | None = None, hi: int | None = None
+) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Decode MANY segment rows' (doc, tf, dl) with ONE varint pass per
+    stream — the query-side analogue of the merge path's block decode.
+    Per-row ``decode_segment`` costs ~0.15 ms of fixed numpy-call
+    overhead; a 500-query task touches thousands of small terms, so the
+    per-call overhead dominated pruned-query profiles (measured ~0.8 s
+    of a 3.7 s task).  Returns per-row (doc, tf, dl) aligned with
+    ``rows``, each restricted to [lo, hi) like decode_segment."""
+    n = len(rows)
+    empty = _EMPTY3
+    out: list = [empty] * n
+    if n == 0:
+        return out
+    # per-row covering-block windows and byte ranges (cheap bookkeeping
+    # ops per row; the expensive decode is fused below)
+    d_parts: list[np.ndarray] = []
+    t_parts: list[np.ndarray] = []
+    l_parts: list[np.ndarray] = []
+    live: list[int] = []
+    b0s: list[int] = []
+    for i, row in enumerate(rows):
+        doc0 = np.frombuffer(row["blk_doc0"], dtype=np.int64)
+        nb = doc0.size
+        if nb == 0:
+            continue
+        if lo is None:
+            b0, b1 = 0, nb
+        else:
+            b0 = max(int(np.searchsorted(doc0, lo, side="right")) - 1, 0)
+            b1 = int(np.searchsorted(doc0, hi, side="left"))
+            if b0 >= b1:
+                continue
+        for parts, buf_key, off_key in (
+            (d_parts, "doc_ids", "blk_off_doc"),
+            (t_parts, "tfs", "blk_off_tf"),
+            (l_parts, "dls", "blk_off_dl"),
+        ):
+            off = np.frombuffer(row[off_key], dtype=np.uint32)
+            buf = np.frombuffer(row[buf_key], dtype=np.uint8)
+            end = int(off[b1]) if b1 < nb else buf.size
+            parts.append(buf[int(off[b0]) : end])
+        live.append(i)
+        b0s.append(b0)
+    if not live:
+        return out
+    m = len(live)
+    dbytes = np.concatenate(d_parts) if m > 1 else d_parts[0]
+    # value counts per row from the doc stream's terminator bytes (the
+    # tf/dl streams carry the same one-value-per-posting counts)
+    byte_ends = np.cumsum([p.size for p in d_parts])
+    vcnt_cum = np.cumsum((dbytes & 0x80) == 0)
+    row_val_end = vcnt_cum[byte_ends - 1]
+    row_val_start = np.concatenate(([0], row_val_end[:-1]))
+    lens = row_val_end - row_val_start
+
+    gaps = varint_decode(dbytes)
+    cs = np.cumsum(gaps.astype(np.int64))
+    # block resets: every row start and every block_size-th value within
+    # a row starts an absolute-coded block
+    nblk = -(-lens // block_size)
+    nblk_total = int(nblk.sum())
+    blk_of = np.repeat(np.arange(m), nblk)
+    blk_idx_in_row = np.arange(nblk_total) - np.repeat(
+        np.concatenate(([0], np.cumsum(nblk)[:-1])), nblk
+    )
+    reset_pos = row_val_start[blk_of] + blk_idx_in_row * block_size
+    seg_lens = np.diff(np.append(reset_pos, gaps.size))
+    base = np.repeat(
+        cs[reset_pos] - gaps[reset_pos].astype(np.int64), seg_lens
+    )
+    doc_all = cs - base
+
+    tf_all = varint_decode(
+        np.concatenate(t_parts) if m > 1 else t_parts[0]
+    ).view(np.int64)
+    dl_all = varint_decode(
+        np.concatenate(l_parts) if m > 1 else l_parts[0]
+    ).view(np.int64)
+
+    for j, i in enumerate(live):
+        a, b = int(row_val_start[j]), int(row_val_end[j])
+        doc = doc_all[a:b]
+        tf = tf_all[a:b]
+        dl = dl_all[a:b]
+        if lo is not None:
+            s, e = np.searchsorted(doc, [lo, hi])
+            doc, tf, dl = doc[s:e], tf[s:e], dl[s:e]
+        out[i] = (doc, tf, dl)
+    return out
 
 
 def segment_rows_by_term(seg: pa.Table) -> dict[str, list[dict]]:

@@ -124,6 +124,27 @@ def _plan_groups(
     return [grp for grp in groups if grp]
 
 
+def _file_ids(files: list[str], rows: list[int]) -> list[str]:
+    """Per-file lineage identity "basename:rows:footerhash" — basename
+    alone collides across directories (every hive layout ships a
+    part-0.parquet), and equal-sized parts defeat (name, rows) too, so
+    the id folds in a hash of the parquet footer (column stats make it
+    content-derived; ~8 KB read per file, cheaper than the row-count
+    metadata open).  A byte-identical re-add from any path keeps the
+    same id and is correctly refused as already indexed."""
+    import hashlib
+
+    out = []
+    for f, r in zip(files, rows):
+        size = os.path.getsize(f)
+        with open(f, "rb") as fh:
+            fh.seek(max(0, size - 8192))
+            tail = fh.read()
+        h = hashlib.sha256(f"{size}:".encode() + tail).hexdigest()[:12]
+        out.append(f"{os.path.basename(f)}:{r}:{h}")
+    return out
+
+
 def _inventory_hash(files: list[str], rows: list[int]) -> str:
     """Identity of the input file set: names + row counts.  Part of the
     resume validation — a complete index over different inputs must not
@@ -458,6 +479,7 @@ def build_index(
             man.mark_group(
                 gid,
                 input_files=[os.path.basename(f) for f in g_files],
+                input_ids=_file_ids(g_files, [rows[i] for i in file_idx]),
                 n_docs=g_rows,
                 doc_lo=rng[0] if rng else None,
                 doc_hi=rng[1] if rng else None,
@@ -576,10 +598,24 @@ def append_index(
     if not files:
         raise ValueError(f"no parquet files at {new_source!r}")
     rows = _file_rows(files)
-    known = {
-        bn for e in man.groups.values() for bn in e.get("input_files", [])
+    # known-file identity: (basename, rows) when recorded (input_ids),
+    # falling back to bare basenames for pre-input_ids manifests —
+    # basenames alone collide across directories (hive part files)
+    known_ids = {
+        fid for e in man.groups.values() for fid in e.get("input_ids", [])
     }
-    new_i = [i for i, f in enumerate(files) if os.path.basename(f) not in known]
+    known_names = {
+        bn
+        for e in man.groups.values()
+        if "input_ids" not in e
+        for bn in e.get("input_files", [])
+    }
+    ids = _file_ids(files, rows)
+    new_i = [
+        i
+        for i, f in enumerate(files)
+        if ids[i] not in known_ids and os.path.basename(f) not in known_names
+    ]
     if not new_i and man.is_complete():
         raise ValueError(f"files already in the index: {files}")
 
@@ -602,7 +638,8 @@ def append_index(
         g_plans = []
         for off, file_idx in enumerate(groups):
             g_files = [sub_files[i] for i in file_idx]
-            g_rows = sum(sub_rows[i] for i in file_idx)
+            g_frows = [sub_rows[i] for i in file_idx]
+            g_rows = sum(g_frows)
             rng = _group_doc_range(g_files, g_rows, "documents", None)
             bnd = rng if rng is not None else _group_doc_bounds(g_files)
             # validate against the BOUNDING range: non-contiguous inputs
@@ -613,12 +650,12 @@ def append_index(
                     raise ValueError(
                         f"new doc_id range {chk} overlaps existing group [{lo}, {hi})"
                     )
-            g_plans.append((g_files, g_rows, rng, bnd))
+            g_plans.append((g_files, g_frows, g_rows, rng, bnd))
         # clear finalize BEFORE any new postings land: stale global stats
         # must not masquerade as current if we crash mid-append
         man.stages.pop("finalize", None)
         man.save()
-        for off, (g_files, g_rows, rng, bnd) in enumerate(g_plans):
+        for off, (g_files, g_frows, g_rows, rng, bnd) in enumerate(g_plans):
             gid = base_gid + off
             t0 = time.perf_counter()
             nblocks = min(_shuffle_partitions(cfg), max(1, g_rows // 1000))
@@ -633,6 +670,7 @@ def append_index(
             man.mark_group(
                 gid,
                 input_files=[os.path.basename(f) for f in g_files],
+                input_ids=_file_ids(g_files, g_frows),
                 n_docs=g_rows,
                 doc_lo=rng[0] if rng else None,
                 doc_hi=rng[1] if rng else None,
@@ -795,6 +833,17 @@ def compact_index(
     man.mark_group(
         new_gid,
         input_files=[bn for e in entries for bn in e.get("input_files", [])],
+        # carry per-file lineage ids only if EVERY folded entry has them
+        # (a mixed union would re-open the bare-basename collision)
+        **(
+            {
+                "input_ids": [
+                    fid for e in entries for fid in e["input_ids"]
+                ]
+            }
+            if all("input_ids" in e for e in entries)
+            else {}
+        ),
         n_docs=sum(e["n_docs"] for e in entries),
         doc_lo=lo,
         doc_hi=hi,

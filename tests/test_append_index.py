@@ -115,3 +115,31 @@ def test_append_resumes_after_crash(split_docs):
     assert man2.is_complete() and man2.stats["num_docs"] == 500
     got = _topk(idx)
     assert got[["qid", "doc_id", "rank"]].equals(want[["qid", "doc_id", "rank"]])
+
+
+def test_append_same_basename_different_dir(ray_session, tmp_path):
+    """Lineage identity is (basename, rows), not basename alone: a file
+    named like an already-indexed one but from another directory (hive
+    part files!) must append normally when its ids are disjoint."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(SRC, columns=["doc_id", "text"])
+    d1, d2 = tmp_path / "d1", tmp_path / "d2"
+    os.makedirs(d1), os.makedirs(d2)
+    pq.write_table(t.slice(0, 250), str(d1 / "part-0.parquet"))
+    shifted = t.slice(250, 250).set_column(
+        0, "doc_id", pc.subtract(t.slice(250, 250).column("doc_id"), 0)
+    )
+    pq.write_table(shifted, str(d2 / "part-0.parquet"))
+
+    idx = str(tmp_path / "idx")
+    build_index(str(d1), idx, IndexConfig(), mode="documents", fresh=True)
+    man = append_index(str(d2), idx, IndexConfig())
+    assert man.stats["num_docs"] == 500
+    assert len(man.done_groups()) == 2
+    # appending the exact same file again IS refused (identical id)
+    with pytest.raises(ValueError, match="already in the index"):
+        append_index(str(d2), idx, IndexConfig())

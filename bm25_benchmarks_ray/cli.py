@@ -78,25 +78,43 @@ def _maybe_ext_ids(res, index_dir: str):
 _OWNS_RAY = False
 
 
-def _init_ray(num_cpus: int | None) -> None:
+def _init_ray(num_cpus: int | None, address: str | None = None) -> None:
+    """Start or join a Ray session.
+
+    Local (the default, and what ``RAY_ADDRESS=local`` selects): start
+    a fresh single-node session capped at ``num_cpus``.  Cluster: when
+    the CLI runs as a `ray job submit` entrypoint the job runtime
+    exports the cluster's RAY_ADDRESS — join it as-is (the cluster's
+    size is fixed by its node count; ``--num-cpus`` is a LOCAL-only
+    cap and is ignored on a cluster, where per-stage `num_cpus=` /
+    `concurrency=` args control parallelism instead).  `--address`
+    overrides the environment for explicit `ray.init(address=...)`
+    targets like "auto".
+    """
     global _OWNS_RAY
     import ray
 
-    if not ray.is_initialized():
+    if ray.is_initialized():
+        return
+    addr = address or os.environ.get("RAY_ADDRESS", "local")
+    if addr == "local":
         ray.init(
             address="local",
             num_cpus=num_cpus,
             include_dashboard=False,
             logging_level="ERROR",
         )
-        _OWNS_RAY = True
+    else:
+        # joining an existing cluster: resources belong to the cluster
+        ray.init(address=addr, logging_level="ERROR")
+    _OWNS_RAY = True
 
 
 def cmd_index(args) -> int:
     from .config import IndexConfig
     from .pipelines.index_build import build_index
 
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, args.address)
     cfg = IndexConfig(
         stopwords=args.stopwords, stemmer=args.stemmer,
         salt_range=args.salt_range, block_size=args.block_size,
@@ -137,7 +155,7 @@ def cmd_index(args) -> int:
 def cmd_compact(args) -> int:
     from .pipelines.index_build import compact_index
 
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, args.address)
     gids = (
         [int(g) for g in args.groups.split(",")] if args.groups else None
     )
@@ -152,7 +170,7 @@ def cmd_query(args) -> int:
     from .functions.bm25 import BM25Params
     from .pipelines.query import search
 
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, args.address)
     from .pipelines.query import sample_queries
 
     params = BM25Params(method=args.method, k1=args.k1, b=args.b, delta=args.delta)
@@ -191,7 +209,7 @@ def cmd_eval(args) -> int:
     from .pipelines.query import search
     from .state.run_record import Timer, save_run_record
 
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, args.address)
     from .pipelines.query import sample_queries
 
     params = BM25Params(method=args.method, k1=args.k1, b=args.b, delta=args.delta)
@@ -231,7 +249,7 @@ def cmd_serve(args) -> int:
     from .functions.bm25 import BM25Params
     from .pipelines.serve import BM25Server
 
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, args.address)
     params = BM25Params(method=args.method, k1=args.k1, b=args.b, delta=args.delta)
     queries = _read_queries(args.queries)
     srv = BM25Server(args.index, params=params)
@@ -283,7 +301,7 @@ def _read_docs(path: str, columns: list[str]):
 def cmd_dedup(args) -> int:
     """Near/exact-duplicate detection over a (doc_id, text) parquet
     corpus; writes survivors (exact) or pairs (others) as parquet."""
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, args.address)
     from .pipelines import dedup as dd
 
     ds = _read_docs(args.input, ["doc_id", "text"])
@@ -318,7 +336,7 @@ def cmd_dedup(args) -> int:
 def cmd_analyze(args) -> int:
     """Per-document text analysis (language ID / quality / token counts
     / fingerprints) over a (doc_id, text) parquet corpus."""
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, args.address)
     from .pipelines import text_analysis as ta
 
     ds = _read_docs(args.input, ["doc_id", "text"])
@@ -338,7 +356,7 @@ def cmd_analyze(args) -> int:
 def cmd_cluster(args) -> int:
     """Distributed spherical k-means over a (vec_id, embedding) parquet
     table; writes (vec_id, cluster) assignments."""
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, args.address)
     from .pipelines.similarity import embed_kmeans
 
     ds = _read_docs(args.input, [args.id_col, args.vec_col])
@@ -352,7 +370,11 @@ def cmd_cluster(args) -> int:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="bm25_benchmarks_ray")
-    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="local-session CPU cap (ignored when joining a cluster)")
+    ap.add_argument("--address", default=None,
+                    help="Ray cluster address (e.g. 'auto' under ray job "
+                         "submit); default: $RAY_ADDRESS or a local session")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("index")

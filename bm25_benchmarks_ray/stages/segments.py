@@ -260,15 +260,26 @@ def decode_selected_blocks(
         idx = np.repeat(first, lens) + np.arange(total, dtype=np.int64)
         return b[idx]
 
-    # ONE varint decode for all three streams: they carry the same
-    # value count (one per selected posting), so the concatenated
-    # decode splits into exact thirds — candidate decodes are per-call-
-    # overhead-bound (small payloads), and this removes 2 of 3 calls
     gb = [
         gather(row["doc_ids"], "blk_off_doc"),
         gather(row["tfs"], "blk_off_tf"),
         gather(row["dls"], "blk_off_dl"),
     ]
+    if gb[0].size + gb[1].size + gb[2].size >= 8192:
+        # large selection: decode per stream so a uniformly-1-byte
+        # stream (doc gaps, tf≈1) keeps varint_decode's all-one-byte
+        # fast path — concatenated with a multi-byte dl stream, every
+        # value pays the general gather loop (measured 1.5-2.9x slower
+        # from 16KB up; crossover ~8KB)
+        doc = _blockwise_docs(varint_decode(gb[0]), block_size)
+        tf = varint_decode(gb[1]).view(np.int64)
+        dl = varint_decode(gb[2]).view(np.int64)
+        return doc, tf, dl
+    # small selection: ONE varint decode for all three streams — they
+    # carry the same value count (one per selected posting), so the
+    # concatenated decode splits into exact thirds; candidate decodes
+    # this size are per-call-overhead-bound, and this removes 2 of 3
+    # calls
     vals = varint_decode(np.concatenate(gb))
     p = vals.size // 3
     doc = _blockwise_docs(vals[:p], block_size)

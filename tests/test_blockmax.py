@@ -87,3 +87,54 @@ def test_partial_block_decode_consistency():
         np.testing.assert_array_equal(d, doc[mask])
         np.testing.assert_array_equal(t, tf[mask])
         np.testing.assert_array_equal(l, dl[mask])
+
+
+def test_promoted_full_decode_equals_scattered():
+    """A pruned term whose candidates cover >=50% of its blocks is
+    promoted to a cached full decode (score_query_pruned's coverage
+    branch); results must equal the no-cache scattered path, and the
+    promoted term must land in the task cache."""
+    from bm25_benchmarks_ray.functions.bm25 import nonoccurrence_shape
+    from bm25_benchmarks_ray.pipelines.query import _DecodeCache
+    from bm25_benchmarks_ray.stages.blockmax import score_query_pruned
+
+    rng = np.random.RandomState(7)
+    avgdl, k, bs = 50.0, 10, 128
+    params = BM25Params(method="lucene")
+    s0 = nonoccurrence_shape(params)
+    lo, hi = 0, 10_000
+
+    # term A: rare, high weight -- seeds the candidate set with docs
+    # spread uniformly so they touch every block of term B
+    doc_a = np.arange(0, 10_000, 16, dtype=np.int64)
+    row_a = encode_postings(
+        "a", doc_a,
+        rng.randint(3, 9, doc_a.size).astype(np.int64),
+        rng.randint(20, 120, doc_a.size).astype(np.int64), bs)
+    # term B: huge df, mid weight -- prunable once A fills the heap,
+    # and A's candidates cover 100% of its blocks
+    doc_b = np.arange(0, 10_000, 2, dtype=np.int64)
+    row_b = encode_postings(
+        "b", doc_b,
+        np.ones(doc_b.size, dtype=np.int64),
+        rng.randint(20, 120, doc_b.size).astype(np.int64), bs)
+    # term C: rare, weight just under B's -- processed AFTER B, its
+    # remaining-max keeps the candidate set wide at B's turn (without
+    # it the post-A cull shrinks candidates to ~k and coverage falls
+    # below the 50% promotion bar)
+    doc_c = np.arange(0, 10_000, 500, dtype=np.int64)
+    row_c = encode_postings(
+        "c", doc_c,
+        rng.randint(3, 9, doc_c.size).astype(np.int64),
+        rng.randint(20, 120, doc_c.size).astype(np.int64), bs)
+    rows, ws = [row_a, row_b, row_c], [10.0, 3.65, 2.1]
+
+    cache = _DecodeCache(bs, lo, hi, params, avgdl, s0)
+    d1, s1 = score_query_pruned(rows, ws, params, avgdl, k, bs, lo, hi,
+                                0.0, full_decode=cache)
+    d2, s2 = score_query_pruned(rows, ws, params, avgdl, k, bs, lo, hi,
+                                0.0, full_decode=None)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_allclose(s1, s2, atol=1e-12)
+    # the promotion is what cached term B without an explicit decode
+    assert cache.cached(row_b)

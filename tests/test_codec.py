@@ -104,3 +104,38 @@ def test_decode_selected_blocks_matches_full():
         np.testing.assert_array_equal(got_d, full_d[sel])
         np.testing.assert_array_equal(got_t, full_t[sel])
         np.testing.assert_array_equal(got_l, full_l[sel])
+
+
+def test_decode_selected_blocks_matches_full_large():
+    """Payloads >= 8KB take the per-stream varint branch in
+    decode_selected_blocks (the 1-byte fast-path preserver) — same
+    equality contract as the small-payload fused branch above."""
+    import numpy as np
+
+    from bm25_benchmarks_ray.stages.segments import (
+        decode_segment,
+        decode_selected_blocks,
+        encode_postings,
+    )
+
+    rng = np.random.RandomState(23)
+    n = 40_000
+    doc = np.unique(rng.randint(0, 4_000_000, size=n)).astype(np.int64)
+    tf = rng.randint(1, 6, size=doc.size).astype(np.int64)
+    # multi-byte dls: exactly the stream that defeats the fused call's
+    # fast path
+    dl = rng.randint(200, 3000, size=doc.size).astype(np.int64)
+    bs = 128
+    row = encode_postings("t", doc, tf, dl, bs)
+    nb = -(-doc.size // bs)
+    # scattered selection big enough that the gathered bytes cross 8KB
+    blocks = np.sort(rng.choice(nb, size=nb // 3, replace=False))
+    got_d, got_t, got_l = decode_selected_blocks(row, bs, blocks)
+    full_d, full_t, full_l = decode_segment(row, bs)
+    sel = np.concatenate(
+        [np.arange(b * bs, min((b + 1) * bs, doc.size)) for b in blocks]
+    )
+    assert sel.size * 3 >= 8192  # the per-stream branch actually ran
+    np.testing.assert_array_equal(got_d, full_d[sel])
+    np.testing.assert_array_equal(got_t, full_t[sel])
+    np.testing.assert_array_equal(got_l, full_l[sel])

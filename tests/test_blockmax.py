@@ -138,3 +138,42 @@ def test_promoted_full_decode_equals_scattered():
     np.testing.assert_allclose(s1, s2, atol=1e-12)
     # the promotion is what cached term B without an explicit decode
     assert cache.cached(row_b)
+
+
+def test_pruned_nonzero_lo_slice():
+    """Pruned scoring on a slice whose doc-id range starts far from
+    zero — every non-first group of a multi-group index — must return
+    the same absolute ids and scores as the no-cache path and the
+    brute-force per-doc truth."""
+    from bm25_benchmarks_ray.functions.bm25 import nonoccurrence_shape
+    from bm25_benchmarks_ray.pipelines.query import _DecodeCache
+    from bm25_benchmarks_ray.stages.blockmax import score_query_pruned
+
+    rng = np.random.RandomState(11)
+    avgdl, k, bs = 50.0, 10, 32
+    params = BM25Params(method="lucene")
+    s0 = nonoccurrence_shape(params)
+    lo, hi = 7_000_000, 7_010_000
+
+    rows, ws, truth = [], [], {}
+    for name, step, w in (("a", 16, 10.0), ("b", 2, 3.65), ("c", 500, 2.1)):
+        doc = np.arange(lo, hi, step, dtype=np.int64)
+        tf = rng.randint(1, 9, doc.size).astype(np.int64)
+        dl = rng.randint(20, 120, doc.size).astype(np.int64)
+        rows.append(encode_postings(name, doc, tf, dl, bs))
+        ws.append(w)
+        base = tf_shape(params, tf.astype(float), dl.astype(float), avgdl) - s0
+        for d, v in zip(doc, w * base):
+            truth[int(d)] = truth.get(int(d), 0.0) + v
+
+    cache = _DecodeCache(bs, lo, hi, params, avgdl, s0)
+    d1, s1 = score_query_pruned(rows, ws, params, avgdl, k, bs, lo, hi,
+                                0.0, full_decode=cache)
+    d2, s2 = score_query_pruned(rows, ws, params, avgdl, k, bs, lo, hi,
+                                0.0, full_decode=None)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_allclose(s1, s2, atol=1e-12)
+    assert d1.dtype == np.int64 and d1.min() >= lo and d1.max() < hi
+    exp = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    np.testing.assert_array_equal(d1, [d for d, _ in exp])
+    np.testing.assert_allclose(s1, [v for _, v in exp], atol=1e-9)

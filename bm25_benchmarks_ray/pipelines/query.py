@@ -143,22 +143,63 @@ def _query_plan(
 
     s0 = nonoccurrence_shape(params)
     qids = [qid for qid, _ in tokenized]
-    qconst = np.zeros(len(tokenized), dtype=np.float64)
-    term_fanout: dict[str, list[tuple[int, float]]] = {}
+    # Vectorized fanout build: one idf over the unique-term df array and
+    # numpy grouping, not an idf_fn call per (query, term) pair — the
+    # per-pair Python loop was ~0.25 s of serial driver time per 8000
+    # queries (the scalar np.log dominating), a fixed cost that deflates
+    # wide-cluster scaling and is O(pairs) on million-query batches.
+    # The remaining Python loop below only flattens Counter items.
+    known = sorted(df_map)
+    tid_of = {t: i for i, t in enumerate(known)}
+    qi_l: list[int] = []
+    ti_l: list[int] = []
+    m_l: list[float] = []
     for qi, (_, counts) in enumerate(tokenized):
         for term, m in counts.items():
-            df = df_map.get(term)
-            if df is None:  # unseen token drops out (frozen vocab, §2.2 M7)
+            ti = tid_of.get(term)
+            if ti is None:  # unseen token drops out (frozen vocab, §2.2 M7)
                 continue
-            t_idf = float(idf_fn(params, df, num_docs, avg_idf=avg_idf))
-            term_fanout.setdefault(term, []).append((qi, m * t_idf))
-            qconst[qi] += m * t_idf * s0
+            qi_l.append(qi)
+            ti_l.append(ti)
+            m_l.append(m)
+    qconst = np.zeros(len(tokenized), dtype=np.float64)
+    term_fanout: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    if qi_l:
+        qi_a = np.asarray(qi_l, dtype=np.int64)
+        ti_a = np.asarray(ti_l, dtype=np.int64)
+        df_a = np.asarray([df_map[t] for t in known], dtype=np.float64)
+        idf_a = np.asarray(idf_fn(params, df_a, num_docs, avg_idf=avg_idf))
+        w_a = np.asarray(m_l, dtype=np.float64) * idf_a[ti_a]
+        # per-pair w·s0 then bincount: same accumulation order and
+        # operand shapes as the old per-pair loop (scores must stay
+        # bit-identical for the value-hash oracles)
+        qconst = np.bincount(
+            qi_a, weights=w_a * s0, minlength=len(tokenized)
+        ).astype(np.float64)
+        order = np.lexsort((qi_a, ti_a))  # term-major, qi ascending within
+        ti_s, qi_s, w_s = ti_a[order], qi_a[order], w_a[order]
+        bounds = np.searchsorted(ti_s, np.arange(len(known) + 1))
+        for t, b0, b1 in zip(known, bounds[:-1], bounds[1:]):
+            if b1 > b0:
+                term_fanout[t] = (qi_s[b0:b1], w_s[b0:b1])
     return {
         "qids": qids,
         "qconst": qconst,
         "term_fanout": term_fanout,
         "terms": sorted(term_fanout),
     }
+
+
+def _fanout_arrays(entry) -> tuple[np.ndarray, np.ndarray]:
+    """(qi, w) arrays for one term's fanout, qi ascending.  Plans built
+    by _query_plan store arrays already; hand-built plans (tests) may
+    pass lists of (qi, w) tuples."""
+    if isinstance(entry, tuple) and len(entry) == 2:
+        return entry
+    qi = np.asarray([q for q, _ in entry], dtype=np.int64)
+    w = np.asarray([x for _, x in entry], dtype=np.float64)
+    order = np.argsort(qi, kind="stable")
+    return qi[order], w[order]
 
 
 _EMPTY_PARTIALS = pa.table(
@@ -411,12 +452,13 @@ def score_range(
         # a split term's parts have disjoint doc ranges, so scoring each
         # part as its own row with the term's weight is exact (a doc
         # matches at most one part; contributions add)
-        n_use = 0
-        for qi, w_idf in fanout:
-            if q_lo <= qi < q_hi:
-                q_terms.setdefault(qi, []).extend(parts)
-                q_weights.setdefault(qi, []).extend([w_idf] * len(parts))
-                n_use += 1
+        f_qi, f_w = _fanout_arrays(fanout)
+        i0, i1 = np.searchsorted(f_qi, (q_lo, q_hi))
+        n_use = int(i1 - i0)
+        for j in range(i0, i1):
+            qi = int(f_qi[j])
+            q_terms.setdefault(qi, []).extend(parts)
+            q_weights.setdefault(qi, []).extend([float(f_w[j])] * len(parts))
         # decode policy (cost model, tools/prof_query.py): a per-query
         # candidate-block decode costs a fixed ~2.3 ms of numpy call
         # overhead ≈ SHARED_DECODE_C postings of bulk decode, so a
@@ -578,13 +620,13 @@ def score_range(
 
 def query_plan_terms(plan: dict, q_lo: int, q_hi: int) -> list[str]:
     """Sorted in-vocab terms any query in [q_lo, q_hi) needs."""
-    return sorted(
-        {
-            t
-            for t, fl in plan["term_fanout"].items()
-            if any(q_lo <= qi < q_hi for qi, _ in fl)
-        }
-    )
+    out = []
+    for t, fl in plan["term_fanout"].items():
+        f_qi, _ = _fanout_arrays(fl)
+        i0, i1 = np.searchsorted(f_qi, (q_lo, q_hi))
+        if i1 > i0:
+            out.append(t)
+    return sorted(out)
 
 
 def make_score_slice(
@@ -809,7 +851,9 @@ def _empty_query_results(plan: dict, k: int, num_docs: int, legacy_pad: bool) ->
     if legacy_pad:
         pad = list(range(min(k, num_docs)))
         # one pass over the fanout, not one per query (O(Q×fanout) scan)
-        matched_qi = {i for fl in plan["term_fanout"].values() for i, _ in fl}
+        matched_qi = set()
+        for fl in plan["term_fanout"].values():
+            matched_qi.update(np.unique(_fanout_arrays(fl)[0]).tolist())
         for qi, qid in enumerate(plan["qids"]):
             if qi in matched_qi:
                 continue

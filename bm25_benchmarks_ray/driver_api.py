@@ -242,6 +242,61 @@ def q_bm25_served(sf_dir: str, method: str = "lucene", k: int = 10):
     )
 
 
+def q_hybrid_rrf(sf_dir: str, k: int = 10, k_in: int = 20):
+    """Hybrid retrieval: RRF fusion (pipelines/fusion.py) of the BM25
+    lucene top-20 over documents with the dense cosine top-20 over
+    embeddings (query vectors = vec_id < 8 paired with qid 'q%02d').
+    The fusion exchange carries Q × k_in × 2 rows regardless of corpus
+    size; the fused ranking is value-hash-checked against the SQL
+    replica of both rank rules."""
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from .pipelines.fusion import rrf_fuse
+    from .pipelines.similarity import cosine_topk
+
+    # sparse list: deterministic cross-engine re-rank, as q_bm25_topk
+    idx = documents_index(sf_dir)
+    res = search(
+        idx,
+        DOC_QUERIES,
+        params=BM25Params(method="lucene"),
+        k=k_in,
+        cfg=SQL_CFG,
+        join_back=False,
+    ).to_pandas()
+    res["score"] = res["score"].round(6)
+    res = res.sort_values(["qid", "score", "doc_id"], ascending=[True, False, True])
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    sparse = pa.table(
+        {
+            "qid": pa.array(res["qid"], type=pa.string()),
+            "doc_id": pa.array(res["doc_id"], type=pa.int64()),
+            "rank": pa.array(res["rank"].astype(np.int64)),
+        }
+    )
+
+    # dense list: the 8 lowest-id vectors are the query side (driver
+    # read of 8 rows; the corpus side streams through cosine_topk)
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq_.read_table(emb, columns=["vec_id", "embedding"])
+    qt = qt.filter(pa.compute.less(qt.column("vec_id"), 8)).sort_by("vec_id")
+    qvecs = np.asarray([np.asarray(v) for v in qt.column("embedding").to_pylist()],
+                       dtype=np.float64)
+    dres = cosine_topk(rd.read_parquet(emb), qvecs, k=k_in)
+    dense = pa.table(
+        {
+            "qid": pa.array(
+                [f"q{int(i):02d}" for i in dres.column("qi").to_pylist()],
+                type=pa.string(),
+            ),
+            "doc_id": dres.column("vec_id"),
+            "rank": dres.column("rank"),
+        }
+    )
+    return rrf_fuse([sparse, dense], k=k, k_in=k_in)
+
+
 # ---------------------------------------------------------------------
 # training-data extensions: dedup, similarity, text analysis
 # ---------------------------------------------------------------------
@@ -709,7 +764,10 @@ def _stem_map_values() -> str:
     return ",\n    ".join(f"('{t}', '{porter2_stem(t)}')" for t in _DOC_VOCAB)
 
 
-def bm25_topk_sql(method: str, k: int = 10, stemmed: bool = False) -> str:
+def _bm25_ranked_ctes(method: str, stemmed: bool = False) -> str:
+    """The CTE chain (tokens → qterms → scored → ranked) shared by the
+    plain top-k oracle and the hybrid-RRF oracle; ``ranked`` holds the
+    full dense-semantics ranking (qid, doc_id, rank, score)."""
     p = BM25Params(method=method)
     s0 = _s0(method, p.k1, p.delta)
     idf = _idf_sql(method, p.epsilon)
@@ -721,8 +779,7 @@ def bm25_topk_sql(method: str, k: int = 10, stemmed: bool = False) -> str:
         if stemmed
         else TOKENS_CTE
     )
-    return f"""
-WITH {tokens_cte},
+    return f"""{tokens_cte},
 qterms(qid, term, w) AS (VALUES
     {_query_values_sql(stemmed)}
 ),
@@ -757,8 +814,52 @@ ranked AS (
   SELECT qid, doc_id, score,
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
   FROM scored
-)
+)"""
+
+
+def bm25_topk_sql(method: str, k: int = 10, stemmed: bool = False) -> str:
+    return f"""
+WITH {_bm25_ranked_ctes(method, stemmed)}
 SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {k}
+"""
+
+
+def hybrid_rrf_sql(k: int = 10, k_in: int = 20, c: int = 60) -> str:
+    """RRF fusion oracle: BM25(lucene) ranking over documents fused
+    with the dense cosine ranking over embeddings (query vectors =
+    vec_id < 8, qid 'q%02d' — the same pairing q_hybrid_rrf runs).
+    Both per-list rank rules replicate the engine exactly: BM25 ranks
+    on round-6 score desc, doc_id asc (dense-vector semantics); cosine
+    ranks on round-6 similarity desc, vec_id asc."""
+    return f"""
+WITH {_bm25_ranked_ctes("lucene")},
+dq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings WHERE vec_id < 8),
+dsim AS (
+  SELECT printf('q%02d', dq.vec_id) AS qid, e.vec_id AS doc_id,
+         round(list_cosine_similarity(dq.v,
+               CAST(e.embedding AS DOUBLE[])), 6) AS s
+  FROM dq CROSS JOIN embeddings e
+),
+drank AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rank
+  FROM dsim
+),
+fused AS (
+  SELECT qid, doc_id, round(sum(1.0 / ({c} + rank)), 6) AS rrf
+  FROM (
+    SELECT qid, doc_id, rank FROM ranked WHERE rank <= {k_in}
+    UNION ALL
+    SELECT qid, doc_id, rank FROM drank WHERE rank <= {k_in}
+  ) GROUP BY qid, doc_id
+),
+frank AS (
+  SELECT qid, doc_id, rrf,
+         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT qid, doc_id, rrf, rank FROM frank WHERE rank <= {k}
 """
 
 
@@ -1155,6 +1256,8 @@ ORACLE_SQL: dict[str, str] = {
     # inline Porter2 stem map — closes the last driver-unseen semantics
     "bm25_topk_lucene_stemmed": bm25_topk_sql("lucene", stemmed=True),
     "bm25_served_lucene": bm25_topk_sql("lucene"),
+    # hybrid sparse+dense retrieval: RRF over the BM25 and cosine ranks
+    "hybrid_rrf_topk": hybrid_rrf_sql(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "embed_cosine_topk": EMBED_TOPK_SQL,
@@ -1212,6 +1315,7 @@ def build_queries() -> dict:
         q[name] = (lambda m: lambda sf_dir: q_bm25_topk(sf_dir, m))(method)
     q["bm25_topk_lucene_stemmed"] = q_bm25_topk_stemmed
     q["bm25_served_lucene"] = q_bm25_served
+    q["hybrid_rrf_topk"] = q_hybrid_rrf
     q.update(
         {
             "dedup_exact": q_dedup_exact,

@@ -242,6 +242,52 @@ def q_bm25_served(sf_dir: str, method: str = "lucene", k: int = 10):
     )
 
 
+FILTER_PRED_SQL = "lang = 'en'"
+
+
+def q_bm25_topk_filtered(sf_dir: str, method: str = "lucene", k: int = 10):
+    """Filtered retrieval: BM25 top-k among documents WHERE lang='en'
+    (44% of the corpus).  The predicate is evaluated distributed and
+    column-pruned (read doc_id+lang only), packed into the docfilter
+    bitmap, and shipped once inside the query plan; full-corpus idf /
+    avgdl semantics per the docfilter module doc."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .pipelines.docfilter import allowed_bitmap
+    from .state.manifest import Manifest
+
+    idx = documents_index(sf_dir)
+    num_docs = int(Manifest.load(idx).stats["num_docs"])
+    ids = rd.read_parquet(
+        _docs_path(sf_dir), columns=["doc_id", "lang"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "en")).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    bm = allowed_bitmap(ids, num_docs)
+    res = search(
+        idx,
+        DOC_QUERIES,
+        params=BM25Params(method=method),
+        k=k,
+        cfg=SQL_CFG,
+        join_back=False,
+        allowed=bm,
+    ).to_pandas()
+    res["score"] = res["score"].round(6)
+    res = res.sort_values(["qid", "score", "doc_id"], ascending=[True, False, True])
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    return pa.table(
+        {
+            "qid": pa.array(res["qid"], type=pa.string()),
+            "doc_id": pa.array(res["doc_id"], type=pa.int64()),
+            "rank": pa.array(res["rank"].astype(np.int64)),
+            "score": pa.array(res["score"], type=pa.float64()),
+        }
+    )
+
+
 def q_hybrid_rrf(sf_dir: str, k: int = 10, k_in: int = 20):
     """Hybrid retrieval: RRF fusion (pipelines/fusion.py) of the BM25
     lucene top-20 over documents with the dense cosine top-20 over
@@ -764,10 +810,16 @@ def _stem_map_values() -> str:
     return ",\n    ".join(f"('{t}', '{porter2_stem(t)}')" for t in _DOC_VOCAB)
 
 
-def _bm25_ranked_ctes(method: str, stemmed: bool = False) -> str:
+def _bm25_ranked_ctes(
+    method: str, stemmed: bool = False, doc_pred: str | None = None
+) -> str:
     """The CTE chain (tokens → qterms → scored → ranked) shared by the
-    plain top-k oracle and the hybrid-RRF oracle; ``ranked`` holds the
-    full dense-semantics ranking (qid, doc_id, rank, score)."""
+    plain top-k, filtered, and hybrid-RRF oracles; ``ranked`` holds the
+    full dense-semantics ranking (qid, doc_id, rank, score).
+
+    ``doc_pred`` restricts the RANKED doc set only — idf/avgdl stay
+    full-corpus, exactly the engine's filtered-search semantics
+    (pipelines/docfilter.py module doc)."""
     p = BM25Params(method=method)
     s0 = _s0(method, p.k1, p.delta)
     idf = _idf_sql(method, p.epsilon)
@@ -806,7 +858,7 @@ scored AS (
   SELECT x.qid, d.doc_id,
          round(coalesce(c.s, 0.0) + coalesce(qc.c, 0.0), 6) AS score
   FROM qs x
-  CROSS JOIN documents d
+  CROSS JOIN {("(SELECT doc_id FROM documents WHERE " + doc_pred + ")") if doc_pred else "documents"} d
   LEFT JOIN contrib c ON c.qid = x.qid AND c.doc_id = d.doc_id
   LEFT JOIN qconst qc ON qc.qid = x.qid
 ),
@@ -817,9 +869,12 @@ ranked AS (
 )"""
 
 
-def bm25_topk_sql(method: str, k: int = 10, stemmed: bool = False) -> str:
+def bm25_topk_sql(
+    method: str, k: int = 10, stemmed: bool = False,
+    doc_pred: str | None = None,
+) -> str:
     return f"""
-WITH {_bm25_ranked_ctes(method, stemmed)}
+WITH {_bm25_ranked_ctes(method, stemmed, doc_pred)}
 SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {k}
 """
 
@@ -1256,6 +1311,8 @@ ORACLE_SQL: dict[str, str] = {
     # inline Porter2 stem map — closes the last driver-unseen semantics
     "bm25_topk_lucene_stemmed": bm25_topk_sql("lucene", stemmed=True),
     "bm25_served_lucene": bm25_topk_sql("lucene"),
+    # filtered retrieval: rank only lang='en' docs, full-corpus stats
+    "bm25_topk_filtered": bm25_topk_sql("lucene", doc_pred=FILTER_PRED_SQL),
     # hybrid sparse+dense retrieval: RRF over the BM25 and cosine ranks
     "hybrid_rrf_topk": hybrid_rrf_sql(),
     "dedup_exact": DEDUP_EXACT_SQL,
@@ -1315,6 +1372,7 @@ def build_queries() -> dict:
         q[name] = (lambda m: lambda sf_dir: q_bm25_topk(sf_dir, m))(method)
     q["bm25_topk_lucene_stemmed"] = q_bm25_topk_stemmed
     q["bm25_served_lucene"] = q_bm25_served
+    q["bm25_topk_filtered"] = q_bm25_topk_filtered
     q["hybrid_rrf_topk"] = q_hybrid_rrf
     q.update(
         {

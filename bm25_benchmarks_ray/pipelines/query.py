@@ -251,6 +251,28 @@ def _lowest_unmatched(matched: np.ndarray, lo: int, hi: int, k: int) -> np.ndarr
     return np.repeat(starts - run_off, sizes) + np.arange(total, dtype=np.int64)
 
 
+def _lowest_unmatched_masked(
+    matched: np.ndarray, lo: int, k: int, allow: np.ndarray
+) -> np.ndarray:
+    """Filtered-search pad: first k ALLOWED doc ids in the range absent
+    from sorted-unique ``matched`` (matched ⊆ allowed by construction —
+    the scorer masks before top-k).  ``allow`` is the range-local
+    boolean slice starting at ``lo``."""
+    if k <= 0 or allow.size == 0:
+        return np.empty(0, dtype=np.int64)
+    al = np.flatnonzero(allow).astype(np.int64)
+    if matched.size and al.size:
+        m = (matched.astype(np.int64) - lo)
+        idx = np.searchsorted(al, m)
+        valid = idx < al.size
+        idx_v = idx[valid]
+        hit = idx_v[al[idx_v] == m[valid]]
+        keep = np.ones(al.size, dtype=bool)
+        keep[hit] = False
+        al = al[keep]
+    return al[:k] + lo
+
+
 class _DecodeCache:
     """Per-task cache of decoded posting lists as (doc, tf_shape - s0)
     arrays, keyed by term.  One decode per term per task regardless of
@@ -438,6 +460,21 @@ def score_range(
     _DecodeCache(-compatible) full-decode hook for this exact range."""
     from ..stages.blockmax import score_query_pruned
 
+    # filtered search (plan["allowed"]: packed bitmap, docfilter.py):
+    # unpack ONLY this range's slice; disallowed docs are dropped from
+    # every matched set before top-k, and padding draws from allowed
+    # ids only.  Pruning is off under a mask — block-max bounds ignore
+    # the filter, so the pruned scorer's early top-k could be crowded
+    # by disallowed docs; the dense/sort exhaustive paths stay exact.
+    allowed_bits = plan.get("allowed")
+    allow_slice = None
+    if allowed_bits is not None:
+        from .docfilter import bitmap_slice
+
+        hi_eff = min(hi, int(allowed_bits.size) << 3)
+        allow_slice = bitmap_slice(allowed_bits, lo, hi_eff)
+        prune = False
+
     out_qi: list[np.ndarray] = []
     out_doc: list[np.ndarray] = []
     out_score: list[np.ndarray] = []
@@ -537,10 +574,13 @@ def score_range(
                     acc[di] += contrib
                     mask[di] = True
             mi = np.flatnonzero(mask)
-            matched = mi + lo
             approx = acc[mi]
             acc[mi] = 0.0
             mask[mi] = False
+            if allow_slice is not None and mi.size:
+                sel = allow_slice[mi]
+                mi, approx = mi[sel], approx[sel]
+            matched = mi + lo
             if matched.size > k:
                 kth = np.partition(approx, matched.size - k)[matched.size - k]
                 csel = np.flatnonzero(approx >= kth - 1e-3)
@@ -570,7 +610,11 @@ def score_range(
             # walk still needs the FULL matched id set
             t_doc, t_score = _topk_ties(cdoc, m_score, k)
             if dense_pad:
-                pad = _lowest_unmatched(matched, lo, hi, k)
+                pad = (
+                    _lowest_unmatched_masked(matched, lo, k, allow_slice)
+                    if allow_slice is not None
+                    else _lowest_unmatched(matched, lo, hi, k)
+                )
                 if pad.size:
                     t_doc, t_score = _topk_ties(
                         np.concatenate([t_doc, pad]),
@@ -595,6 +639,9 @@ def score_range(
                 uniq, inv = np.unique(alld, return_inverse=True)
                 sums = np.bincount(inv, weights=np.concatenate(parts_v)) + qc
                 matched, m_score = uniq, sums
+                if allow_slice is not None and matched.size:
+                    sel = allow_slice[matched - lo]
+                    matched, m_score = matched[sel], m_score[sel]
             else:
                 matched = np.empty(0, dtype=np.int64)
                 m_score = np.empty(0, dtype=np.float64)
@@ -605,7 +652,11 @@ def score_range(
             m_score = np.empty(0, dtype=np.float64)
         t_doc, t_score = _topk_ties(matched, m_score, k)
         if dense_pad:
-            pad = _lowest_unmatched(matched, lo, hi, k)
+            pad = (
+                _lowest_unmatched_masked(matched, lo, k, allow_slice)
+                if allow_slice is not None
+                else _lowest_unmatched(matched, lo, hi, k)
+            )
             if pad.size:
                 t_doc, t_score = _topk_ties(
                     np.concatenate([t_doc, pad]),
@@ -884,6 +935,7 @@ def search(
     groups: list[int] | None = None,
     n_qbatch: int | None = None,
     n_slices: int | None = None,
+    allowed: np.ndarray | None = None,
 ) -> rd.Dataset:
     """Retrieve top-k (qid, doc_id, rank, score) for every query.
 
@@ -893,7 +945,16 @@ def search(
     retrieve_mmap.py:16; here the analogue is streaming only the chosen
     groups' segment shards).  Scores over the restricted doc set are
     exact; dense-id padding is disabled since absent docs are not
-    zero-scored, they are out of scope."""
+    zero-scored, they are out of scope.
+
+    ``allowed`` — filtered retrieval: a packed uint8 bitmap over
+    [0, num_docs) (pipelines/docfilter.py) restricting results to the
+    set bits.  Collection stats (N, df, avgdl) stay full-corpus (the
+    Lucene/ES filtered-query semantics); ranking, ties and qconst
+    padding are all confined to allowed docs.  The bitmap ships once
+    inside the broadcast plan; each task unpacks only its own
+    doc-range slice.  Forces the exhaustive scorer (pruning bounds
+    ignore the mask)."""
     params = params or BM25Params()
     man = Manifest.load(index_dir)
     if man is None or not man.is_complete():
@@ -905,6 +966,16 @@ def search(
     num_docs = man.stats["num_docs"]
     avgdl = man.stats["avgdl"]
 
+    if allowed is not None:
+        allowed = np.ascontiguousarray(allowed, dtype=np.uint8)
+        need = (num_docs + 7) >> 3
+        if allowed.size != need:
+            raise ValueError(
+                f"allowed bitmap is {allowed.size} bytes, need {need} "
+                f"for num_docs={num_docs}"
+            )
+        mode = "exhaustive"
+
     t0 = time.perf_counter()
     tokenized = tokenize_queries(queries, cfg)
     t1 = time.perf_counter()
@@ -912,6 +983,8 @@ def search(
         tokenized, index_dir, params, num_docs,
         avg_idf=man.stats.get("avg_robertson_idf"),
     )
+    if allowed is not None:
+        plan["allowed"] = allowed
     plan_ref = ray.put(plan)
     if os.environ.get("BM25RD_TIMING"):
         print(f"[timing] query.tokenize: {t1 - t0:.3f}s  "
@@ -940,6 +1013,13 @@ def search(
         if any(b[0] < a[1] for a, b in zip(spans, spans[1:])):
             ranges = {}  # overlapping groups: ranges unusable
     dense_pad = dense_ids and bool(ranges)
+    if allowed is not None and dense_ids and not dense_pad:
+        # merge-side legacy padding is mask-unaware; every index this
+        # engine writes records contiguous group ranges, so this only
+        # rejects filtered search over pre-range-era indexes
+        raise ValueError(
+            "filtered search requires contiguous per-group doc ranges"
+        )
 
     # 3x CPU slots of tasks (~3 waves): q-batches are skewed (a batch
     # whose queries hit hot terms decodes far more postings), and three

@@ -288,6 +288,58 @@ def q_bm25_topk_filtered(sf_dir: str, method: str = "lucene", k: int = 10):
     )
 
 
+DELETE_PRED_NUMPY = lambda ids: ids % 5 == 2  # noqa: E731
+DELETE_PRED_SQL = "doc_id % 5 <> 2"  # the LIVE docs
+
+
+def documents_index_deleted(sf_dir: str) -> str:
+    """A separate cached build of the documents index with every
+    doc_id % 5 == 2 tombstoned — q_bm25_topk_after_delete's fixture.
+    Distinct cache key so the shared clean index never grows a
+    tombstones sidecar."""
+    from .pipelines.tombstones import delete_docs, load_tombstones
+    from .state.manifest import Manifest
+
+    p = _docs_path(sf_dir)
+    key = hashlib.sha256(
+        f"{p}|{os.path.getmtime(p)}|{SQL_CFG.fingerprint()}|tomb".encode()
+    ).hexdigest()[:16]
+    idx = os.path.join(CACHE_ROOT, key)
+    build_index(p, idx, SQL_CFG, mode="documents")  # no-op if complete
+    if load_tombstones(idx) is None:
+        num_docs = int(Manifest.load(idx).stats["num_docs"])
+        ids = np.arange(num_docs, dtype=np.int64)
+        delete_docs(idx, ids[DELETE_PRED_NUMPY(ids)])
+    return idx
+
+
+def q_bm25_topk_after_delete(sf_dir: str, method: str = "lucene", k: int = 10):
+    """Retrieval over a tombstoned index (pipelines/tombstones.py):
+    docs with doc_id % 5 == 2 are deleted; search masks them with the
+    Lucene liveDocs semantics — excluded from ranking and padding while
+    collection stats keep counting them until a rebuild."""
+    idx = documents_index_deleted(sf_dir)
+    res = search(
+        idx,
+        DOC_QUERIES,
+        params=BM25Params(method=method),
+        k=k,
+        cfg=SQL_CFG,
+        join_back=False,
+    ).to_pandas()
+    res["score"] = res["score"].round(6)
+    res = res.sort_values(["qid", "score", "doc_id"], ascending=[True, False, True])
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    return pa.table(
+        {
+            "qid": pa.array(res["qid"], type=pa.string()),
+            "doc_id": pa.array(res["doc_id"], type=pa.int64()),
+            "rank": pa.array(res["rank"].astype(np.int64)),
+            "score": pa.array(res["score"], type=pa.float64()),
+        }
+    )
+
+
 def q_hybrid_rrf(sf_dir: str, k: int = 10, k_in: int = 20):
     """Hybrid retrieval: RRF fusion (pipelines/fusion.py) of the BM25
     lucene top-20 over documents with the dense cosine top-20 over
@@ -1313,6 +1365,9 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_served_lucene": bm25_topk_sql("lucene"),
     # filtered retrieval: rank only lang='en' docs, full-corpus stats
     "bm25_topk_filtered": bm25_topk_sql("lucene", doc_pred=FILTER_PRED_SQL),
+    # tombstoned index: deleted docs leave ranking/padding, stats stay
+    # full-corpus until rebuild (Lucene liveDocs semantics)
+    "bm25_topk_after_delete": bm25_topk_sql("lucene", doc_pred=DELETE_PRED_SQL),
     # hybrid sparse+dense retrieval: RRF over the BM25 and cosine ranks
     "hybrid_rrf_topk": hybrid_rrf_sql(),
     "dedup_exact": DEDUP_EXACT_SQL,
@@ -1373,6 +1428,7 @@ def build_queries() -> dict:
     q["bm25_topk_lucene_stemmed"] = q_bm25_topk_stemmed
     q["bm25_served_lucene"] = q_bm25_served
     q["bm25_topk_filtered"] = q_bm25_topk_filtered
+    q["bm25_topk_after_delete"] = q_bm25_topk_after_delete
     q["hybrid_rrf_topk"] = q_hybrid_rrf
     q.update(
         {

@@ -974,6 +974,15 @@ def search(
                 f"allowed bitmap is {allowed.size} bytes, need {need} "
                 f"for num_docs={num_docs}"
             )
+
+    # index-level deletes (tombstones.py): fold NOT-deleted into the
+    # allowed mask — composes with a user filter by bitwise AND
+    from .tombstones import tombstone_allowed
+
+    t_allowed = tombstone_allowed(index_dir, num_docs)
+    if t_allowed is not None:
+        allowed = t_allowed if allowed is None else allowed & t_allowed
+    if allowed is not None:
         mode = "exhaustive"
 
     t0 = time.perf_counter()

@@ -170,6 +170,15 @@ class BM25Server:
                 ranges = {}
         self.dense_pad = dense_ids and bool(ranges)
         self.legacy_pad = dense_ids and not self.dense_pad
+        # index-level deletes: the NOT-deleted bitmap rides in every
+        # plan so the scorers mask tombstoned docs (tombstones.py)
+        from .tombstones import tombstone_allowed
+
+        self.t_allowed = tombstone_allowed(index_dir, self.num_docs)
+        if self.t_allowed is not None and self.legacy_pad:
+            raise ValueError(
+                "serving a tombstoned index requires contiguous group doc ranges"
+            )
         self._df_cache: dict[str, int] = {}
         self.offsets = load_offsets(index_dir) if join_back else None
         import os
@@ -214,10 +223,13 @@ class BM25Server:
 
     def _plan(self, queries: list[tuple[str, str]]) -> dict:
         tokenized = tokenize_queries(queries, self.cfg)
-        return _query_plan(
+        plan = _query_plan(
             tokenized, self.index_dir, self.params, self.num_docs,
             avg_idf=self.avg_idf, df_cache=self._df_cache,
         )
+        if self.t_allowed is not None:
+            plan["allowed"] = self.t_allowed
+        return plan
 
     def search(self, queries: list[tuple[str, str]], k: int = 10) -> pd.DataFrame:
         plan = self._plan(queries)

@@ -64,6 +64,17 @@ DOC_QUERIES: list[tuple[str, str]] = [
 
 _STOPWORDS_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS_EN))
 
+# Fixed phrase set (pipelines/phrase.py semantics): planted bigram /
+# trigram, a phrase whose own stopword vanishes at tokenize time, a
+# single-term degenerate, and an OOV phrase (matches nothing).
+PHRASE_QUERIES: list[tuple[str, str]] = [
+    ("p00", "table scan"),
+    ("p01", "hash join merge"),
+    ("p02", "the fast value"),
+    ("p03", "window"),
+    ("p04", "slow zzmissing table"),
+]
+
 
 def _docs_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "documents.parquet")
@@ -239,6 +250,31 @@ def q_bm25_served(sf_dir: str, method: str = "lucene", k: int = 10):
             "rank": pa.array(res["rank"].astype(np.int64)),
             "score": pa.array(res["score"], type=pa.float64()),
         }
+    )
+
+
+def q_phrase_topk(sf_dir: str, method: str = "lucene", k: int = 10):
+    """Exact phrase retrieval (pipelines/phrase.py): index-intersected
+    candidates, streaming bitmap-filtered re-tokenize verify, virtual-
+    term BM25 scoring — all five PHRASE_QUERIES in one phase-2 pass."""
+    from .pipelines.phrase import phrase_topk
+
+    idx = documents_index(sf_dir)
+    return phrase_topk(
+        idx, _docs_path(sf_dir), PHRASE_QUERIES, k=k,
+        params=BM25Params(method=method), cfg=SQL_CFG,
+    )
+
+
+def q_bool_and_topk(sf_dir: str, method: str = "lucene", k: int = 10):
+    """Conjunctive (AND) retrieval: posting-list intersection builds
+    the allowed bitmap, then the filtered-search machinery ranks only
+    docs containing every query term (q07's OOV term empties it)."""
+    from .pipelines.phrase import bool_and_topk
+
+    idx = documents_index(sf_dir)
+    return bool_and_topk(
+        idx, DOC_QUERIES, k=k, params=BM25Params(method=method), cfg=SQL_CFG
     )
 
 
@@ -863,15 +899,22 @@ def _stem_map_values() -> str:
 
 
 def _bm25_ranked_ctes(
-    method: str, stemmed: bool = False, doc_pred: str | None = None
+    method: str, stemmed: bool = False, doc_pred: str | None = None,
+    conjunctive: bool = False,
 ) -> str:
     """The CTE chain (tokens → qterms → scored → ranked) shared by the
-    plain top-k, filtered, and hybrid-RRF oracles; ``ranked`` holds the
-    full dense-semantics ranking (qid, doc_id, rank, score).
+    plain top-k, filtered, conjunctive-AND, and hybrid-RRF oracles;
+    ``ranked`` holds the full dense-semantics ranking (qid, doc_id,
+    rank, score).
 
     ``doc_pred`` restricts the RANKED doc set only — idf/avgdl stay
     full-corpus, exactly the engine's filtered-search semantics
-    (pipelines/docfilter.py module doc)."""
+    (pipelines/docfilter.py module doc).
+
+    ``conjunctive`` ranks only docs matching EVERY tokenized query
+    term (strict AND — an OOV term empties the query), the
+    pipelines/phrase.bool_and_topk semantics; scores stay the full
+    dense formula (contrib + qconst) over the conjunctive set."""
     p = BM25Params(method=method)
     s0 = _s0(method, p.k1, p.delta)
     idf = _idf_sql(method, p.epsilon)
@@ -903,7 +946,20 @@ contrib AS (
   GROUP BY q.qid, tf.doc_id
 ),
 qs AS (SELECT DISTINCT qid FROM qterms),
--- dense-vector semantics (the reference ranks a score over ALL docs,
+{'''need AS (SELECT qid, count(DISTINCT term) AS nt FROM qterms GROUP BY qid),
+cand AS (
+  SELECT q.qid, tf.doc_id
+  FROM qterms q JOIN tf ON tf.term = q.term JOIN need ON need.qid = q.qid
+  GROUP BY q.qid, tf.doc_id, need.nt
+  HAVING count(DISTINCT q.term) = need.nt
+),
+scored AS (
+  SELECT ca.qid, ca.doc_id,
+         round(coalesce(c.s, 0.0) + coalesce(qc.c, 0.0), 6) AS score
+  FROM cand ca
+  LEFT JOIN contrib c ON c.qid = ca.qid AND c.doc_id = ca.doc_id
+  LEFT JOIN qconst qc ON qc.qid = ca.qid
+),''' if conjunctive else f'''-- dense-vector semantics (the reference ranks a score over ALL docs,
 -- on_rank_bm25.py:29-33): unmatched docs score exactly the query
 -- constant; with robertson's negative idf they outrank matched docs
 scored AS (
@@ -913,7 +969,7 @@ scored AS (
   CROSS JOIN {("(SELECT doc_id FROM documents WHERE " + doc_pred + ")") if doc_pred else "documents"} d
   LEFT JOIN contrib c ON c.qid = x.qid AND c.doc_id = d.doc_id
   LEFT JOIN qconst qc ON qc.qid = x.qid
-),
+),'''}
 ranked AS (
   SELECT qid, doc_id, score,
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
@@ -923,10 +979,77 @@ ranked AS (
 
 def bm25_topk_sql(
     method: str, k: int = 10, stemmed: bool = False,
-    doc_pred: str | None = None,
+    doc_pred: str | None = None, conjunctive: bool = False,
 ) -> str:
     return f"""
-WITH {_bm25_ranked_ctes(method, stemmed, doc_pred)}
+WITH {_bm25_ranked_ctes(method, stemmed, doc_pred, conjunctive)}
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {k}
+"""
+
+
+def phrase_topk_sql(method: str = "lucene", k: int = 10) -> str:
+    """Exact-phrase oracle over the fixed PHRASE_QUERIES: kept-stream
+    adjacency (stopwords out, positions renumbered via row_number),
+    one self-join chain per phrase, virtual-term BM25 scoring
+    idf(df_phrase)·shape(ptf, dl) — pipelines/phrase.py's documented
+    contract, term for term."""
+    p = BM25Params(method=method)
+    if method == "okapi" and p.epsilon != 0.0:
+        raise ValueError("phrase oracle does not support okapi's floor")
+    idf = _idf_sql(method, p.epsilon).replace("dfreq.df", "dfp.df")
+    shape = _shape_sql(method, p.k1, p.b, p.delta).replace("tf.tf", "h.ptf")
+    hits = []
+    for qid, text in PHRASE_QUERIES:
+        toks = tokenize_text(text, stopwords=STOPWORDS_EN, stemmer=None)
+        if not toks:
+            continue
+        joins = "\n  ".join(
+            f"JOIN kept k{j} ON k{j}.doc_id = k0.doc_id"
+            f" AND k{j}.rn = k0.rn + {j}"
+            for j in range(1, len(toks))
+        )
+        where = " AND ".join(
+            f"k{j}.term = '{t}'" for j, t in enumerate(toks)
+        )
+        hits.append(
+            f"""  SELECT '{qid}' AS qid, k0.doc_id, count(*)::BIGINT AS ptf
+  FROM kept k0
+  {joins}
+  WHERE {where}
+  GROUP BY k0.doc_id"""
+        )
+    hits_sql = "\n  UNION ALL\n".join(hits)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w\\w+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '\\w\\w+'), 1) AS pos
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM tok WHERE term NOT IN ({_STOPWORDS_SQL})
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM kept GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
+         (SELECT count(*) FROM kept)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+hits AS (
+{hits_sql}
+),
+dfp AS (SELECT qid, count(*)::BIGINT AS df FROM hits GROUP BY qid),
+scored AS (
+  SELECT h.qid, h.doc_id, round({idf} * {shape}, 6) AS score
+  FROM hits h JOIN dfp ON dfp.qid = h.qid
+  JOIN dl ON dl.doc_id = h.doc_id CROSS JOIN stats
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
 SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {k}
 """
 
@@ -1370,6 +1493,10 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk_after_delete": bm25_topk_sql("lucene", doc_pred=DELETE_PRED_SQL),
     # hybrid sparse+dense retrieval: RRF over the BM25 and cosine ranks
     "hybrid_rrf_topk": hybrid_rrf_sql(),
+    # exact phrase: kept-stream adjacency, virtual-term BM25
+    "phrase_topk": phrase_topk_sql("lucene"),
+    # conjunctive AND: ranked set = docs with every query term
+    "bool_and_topk": bm25_topk_sql("lucene", conjunctive=True),
     "dedup_exact": DEDUP_EXACT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "embed_cosine_topk": EMBED_TOPK_SQL,
@@ -1430,6 +1557,8 @@ def build_queries() -> dict:
     q["bm25_topk_filtered"] = q_bm25_topk_filtered
     q["bm25_topk_after_delete"] = q_bm25_topk_after_delete
     q["hybrid_rrf_topk"] = q_hybrid_rrf
+    q["phrase_topk"] = q_phrase_topk
+    q["bool_and_topk"] = q_bool_and_topk
     q.update(
         {
             "dedup_exact": q_dedup_exact,

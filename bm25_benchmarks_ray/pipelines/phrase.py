@@ -1,0 +1,447 @@
+"""Exact phrase retrieval and conjunctive (boolean AND) retrieval.
+
+Neither exists in the reference harness (bm25s/rank_bm25 are pure
+bag-of-words scorers) but both are table-stakes fulltext-index
+operations (Lucene PhraseQuery / BooleanQuery.MUST), so the engine
+grows them on top of its existing primitives instead of a new index
+format:
+
+**Conjunctive AND** (``bool_and_topk``) — docs containing ALL query
+terms, ranked by the ordinary BM25 score.  Pure composition: the
+phrase-candidate intersection below builds a packed doc-id bitmap
+(pipelines/docfilter.py) and hands it to ``search(allowed=...)`` —
+the filtered-retrieval machinery does the rest (mask applied inside
+the scorers, stats stay full-corpus).
+
+**Exact phrase** (``phrase_topk``) — the two-phase positions-free
+design:
+
+  Phase 1 (index): candidate docs = intersection of the phrase
+    terms' posting lists.  Per index group (disjoint doc ranges), one
+    term-pruned parquet read decodes only the phrase terms' postings
+    and intersects sorted doc-id arrays smallest-df-first; per-group
+    candidate chunks OR into the bitmap driver-side (≤ num_docs/8
+    bytes total on the wire).  Read volume is the phrase terms'
+    postings — the same bytes a BM25 query over those terms pays —
+    never the corpus.
+  Phase 2 (text verify): one streaming ``map_batches`` pass over the
+    corpus parquet re-tokenizes ONLY candidate rows (bitmap mask per
+    batch; read span pruned to the candidates' doc-id range) and
+    counts exact phrase occurrences in each doc's kept token stream,
+    vectorized over the batch's dictionary-encoded stream
+    (functions/tokenizer.dict_token_stream) — no per-doc Python loop.
+  Scoring: the phrase is a *virtual term*: tf = occurrence count,
+    df = number of docs with ≥1 occurrence, dl = the doc's kept-stream
+    length; score = idf(df) · tf_shape(tf, dl) with the standard
+    variant formulas (functions/bm25).  Only matching docs are ranked
+    (no dense-vector padding — a phrase is a match predicate, not a
+    similarity over the whole corpus).
+
+Semantics contract (mirrored exactly by the SQL oracle in
+driver_api.phrase_topk_sql):
+
+* adjacency is evaluated on the KEPT token stream — stopwords removed,
+  positions renumbered — so phrases cross removed stopwords
+  ("big query" matches "big the query"); single-char tokens never
+  existed (the reference's ``\\w\\w+`` splitter);
+* the phrase text is tokenized by the SAME pipeline (its own stopwords
+  vanish: "the fast value" searches the bigram "fast value");
+* overlapping occurrences all count ("aa aa aa" contains "aa aa"
+  twice); repeated phrase terms are allowed;
+* a phrase containing an out-of-vocabulary term matches nothing
+  (strict conjunction — phase 1 intersects to empty);
+* a one-term phrase degenerates to that term's plain BM25 score over
+  its matching docs.
+
+Scale: phase-1 cost is bounded by the phrase terms' posting lists;
+phase-2 cost is proportional to the CANDIDATE set (bounded by the
+rarest term's df), streamed with row-group pruning.  The candidate
+counts table is (qid, doc_id, ptf, dl) — materialized once for the
+df aggregate, candidate-scale, never corpus-scale.  A positional
+postings stream (positions delta+varint per (term, doc)) is the
+classic upgrade once phrase load is hot enough to amortize its ~2×
+index growth; this two-phase form is the standard positions-free
+fallback and needs no index-format change.  The bitmap itself has the
+10^12-doc sharding story documented in pipelines/docfilter.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import ray
+import ray.data as rd
+
+from ..config import IndexConfig
+from ..functions.bm25 import BM25Params, idf as idf_fn, tf_shape
+from ..functions.tokenizer import (
+    dict_token_stream,
+    resolve_stemmer,
+    resolve_stopwords,
+    tokenize_text,
+)
+from ..state.manifest import Manifest
+from .docfilter import bitmap_nbytes
+from .index_build import SEGMENTS_DIR, VOCAB_DIR
+from .query import search
+from .topk import grouped_topk
+
+__all__ = ["candidate_bitmap", "phrase_topk", "bool_and_topk"]
+
+
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two sorted unique int64 arrays — one binary
+    search of the smaller into the larger (posting lists arrive sorted
+    from decode, so never pay np.intersect1d's concat+sort)."""
+    if a.size > b.size:
+        a, b = b, a
+    if a.size == 0:
+        return a
+    pos = np.searchsorted(b, a)
+    ok = pos < b.size
+    ok[ok] = b[pos[ok]] == a[ok]
+    return a[ok]
+
+
+def _cfg_from_manifest(man: Manifest, cfg: IndexConfig | None) -> IndexConfig:
+    if cfg is not None:
+        return cfg
+    return IndexConfig(**{
+        k: v for k, v in man.config.items()
+        if k in IndexConfig.__dataclass_fields__
+    })
+
+
+def candidate_bitmap(
+    index_dir: str,
+    terms: list[str] | set[str],
+    man: Manifest | None = None,
+) -> np.ndarray:
+    """Packed uint8 bitmap (docfilter layout) of docs containing ALL
+    ``terms`` — distributed posting-list intersection over the index.
+
+    Any term absent from the vocab ⇒ all-zeros (strict conjunction).
+    Terms are intersected rarest-df-first so the running candidate set
+    shrinks as fast as possible."""
+    man = man or Manifest.load(index_dir)
+    if man is None or not man.is_complete():
+        raise ValueError(f"no complete index at {index_dir}")
+    num_docs = int(man.stats["num_docs"])
+    block_size = int(man.config.get("block_size", 128))
+    out = np.zeros(bitmap_nbytes(num_docs), dtype=np.uint8)
+    terms = sorted(set(terms))
+    if not terms:
+        raise ValueError("candidate_bitmap needs at least one term")
+    v = pads.dataset(os.path.join(index_dir, VOCAB_DIR)).to_table(
+        columns=["term", "df"], filter=pc.field("term").isin(terms)
+    )
+    df_map = dict(zip(v.column("term").to_pylist(), v.column("df").to_pylist()))
+    if len(df_map) < len(terms):
+        return out  # an OOV term can match no doc
+    by_df = sorted(terms, key=lambda t: df_map[t])
+
+    def inter(batch: pa.Table) -> pa.Table:
+        from ..stages.segments import decode_segment, segment_rows_by_term
+
+        lo_out: list[int] = []
+        buf_out: list[bytes] = []
+        for gd in batch.column("group_dir").to_pylist():
+            seg = pads.dataset(gd).to_table(filter=pc.field("term").isin(by_df))
+            rbt = segment_rows_by_term(seg)
+            cur: np.ndarray | None = None
+            for t in by_df:
+                rows = rbt.get(t)
+                if not rows:
+                    cur = None
+                    break
+                # multi-part rows (term split across sort partitions)
+                # arrive sorted by first doc, so concat stays ascending
+                parts = [decode_segment(r, block_size)[0] for r in rows]
+                d = parts[0] if len(parts) == 1 else np.concatenate(parts)
+                cur = d if cur is None else _intersect_sorted(cur, d)
+                if cur.size == 0:
+                    break
+            if cur is None or cur.size == 0:
+                continue
+            b_lo = int(cur[0]) >> 3
+            bits = np.zeros(((int(cur[-1]) >> 3) + 1 - b_lo) << 3, dtype=np.uint8)
+            bits[cur - (b_lo << 3)] = 1
+            lo_out.append(b_lo)
+            buf_out.append(np.packbits(bits, bitorder="little").tobytes())
+        return pa.table(
+            {"byte_lo": pa.array(lo_out, type=pa.int64()),
+             "buf": pa.array(buf_out, type=pa.binary())}
+        )
+
+    items = [
+        {"group_dir": os.path.join(index_dir, SEGMENTS_DIR, f"group={g}")}
+        for g in man.done_groups()
+    ]
+    chunks = rd.from_items(items).map_batches(
+        inter, batch_format="pyarrow", batch_size=1
+    )
+    # groups own disjoint doc ranges, so chunk ORs commute
+    for b in chunks.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for lo_, buf in zip(b.column("byte_lo").to_pylist(),
+                            b.column("buf").to_pylist()):
+            chunk = np.frombuffer(buf, dtype=np.uint8)
+            out[lo_: lo_ + chunk.size] |= chunk
+    return out
+
+
+def _bit_test(bitmap: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    return (bitmap[ids >> 3] >> (ids & 7).astype(np.uint8)) & 1
+
+
+def _make_phrase_counter(
+    bitmap_ref,
+    phrases: list[tuple[str, list[str]]],
+    stopwords: frozenset[str],
+    stemmer,
+    id_col: str,
+    text_col: str,
+):
+    """Batch fn: (qid, doc_id, ptf, dl) for every candidate doc with
+    ≥1 occurrence of a phrase.  All phrases share one tokenize pass;
+    matching runs on the batch's dictionary-encoded kept stream —
+    equality tests against phrase-term class ids, one vectorized AND
+    chain per phrase."""
+    # phrase terms → dense class ids (shared across phrases)
+    pterm_cls: dict[str, int] = {}
+    seqs: list[tuple[str, np.ndarray]] = []
+    for qid, toks in phrases:
+        seqs.append(
+            (qid, np.array([pterm_cls.setdefault(t, len(pterm_cls)) for t in toks],
+                           dtype=np.int64))
+        )
+
+    def count(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"qid": pa.array([], type=pa.string()),
+             "doc_id": pa.array([], type=pa.int64()),
+             "ptf": pa.array([], type=pa.int64()),
+             "dl": pa.array([], type=pa.int64())}
+        )
+        ids = batch.column(id_col).to_numpy().astype(np.int64, copy=False)
+        if ids.size == 0:
+            return empty
+        sel = np.flatnonzero(_bit_test(ray.get(bitmap_ref), ids))
+        if sel.size == 0:
+            return empty
+        sel_ids = ids[sel]
+        codes, uniq, doc_of, _ = dict_token_stream(
+            batch.column(text_col).take(pa.array(sel))
+        )
+        # kept stream: stopwords out, positions renumbered (module doc)
+        if stopwords:
+            stop = np.fromiter((u in stopwords for u in uniq), dtype=bool,
+                               count=len(uniq))
+            keep = ~stop[codes]
+            codes, doc_of = codes[keep], doc_of[keep]
+        dl = np.bincount(doc_of, minlength=sel.size)
+        # class id per occurrence: phrase-term id or -1 (stem-unique-once)
+        names = [stemmer(u) for u in uniq] if stemmer else uniq
+        cls = np.fromiter((pterm_cls.get(n, -1) for n in names),
+                          dtype=np.int64, count=len(uniq))
+        cls_codes = cls[codes] if codes.size else codes
+        out_q: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        out_tf: list[np.ndarray] = []
+        out_dl: list[np.ndarray] = []
+        L = cls_codes.size
+        for qid, seq in seqs:
+            n = seq.size
+            if n == 0 or L < n:
+                continue
+            m = L - n + 1
+            valid = cls_codes[:m] == seq[0]
+            for j in range(1, n):
+                valid &= cls_codes[j: m + j] == seq[j]
+            valid &= doc_of[:m] == doc_of[n - 1:]  # start+end in one doc
+            if not valid.any():
+                continue
+            ptf = np.bincount(doc_of[:m][valid], minlength=sel.size)
+            hit = np.flatnonzero(ptf)
+            out_q.append(np.full(hit.size, qid, dtype=object))
+            out_d.append(sel_ids[hit])
+            out_tf.append(ptf[hit])
+            out_dl.append(dl[hit])
+        if not out_q:
+            return empty
+        return pa.table(
+            {"qid": pa.array(np.concatenate(out_q), type=pa.string()),
+             "doc_id": pa.array(np.concatenate(out_d), type=pa.int64()),
+             "ptf": pa.array(np.concatenate(out_tf).astype(np.int64)),
+             "dl": pa.array(np.concatenate(out_dl).astype(np.int64))}
+        )
+
+    return count
+
+
+def phrase_topk(
+    index_dir: str,
+    docs_path: str,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    params: BM25Params | None = None,
+    cfg: IndexConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Top-k exact-phrase retrieval: (qid, doc_id, rank, score) with
+    round-6 deterministic (score desc, doc_id asc) ranking — module doc
+    for semantics and the two-phase design."""
+    params = params or BM25Params()
+    man = Manifest.load(index_dir)
+    if man is None or not man.is_complete():
+        raise ValueError(f"no complete index at {index_dir}")
+    cfg = _cfg_from_manifest(man, cfg)
+    num_docs = int(man.stats["num_docs"])
+    avgdl = float(man.stats["avgdl"])
+    stopwords = resolve_stopwords(cfg.stopwords)
+    stemmer = resolve_stemmer(cfg.stemmer)
+
+    phrases: list[tuple[str, list[str]]] = []
+    union = np.zeros(bitmap_nbytes(num_docs), dtype=np.uint8)
+    for qid, text in queries:
+        toks = tokenize_text(text, stopwords=stopwords, stemmer=stemmer)
+        if not toks:
+            continue
+        bm = candidate_bitmap(index_dir, toks, man=man)
+        if not bm.any():
+            continue
+        phrases.append((qid, toks))
+        union |= bm
+
+    empty = pa.table(
+        {"qid": pa.array([], type=pa.string()),
+         "doc_id": pa.array([], type=pa.int64()),
+         "rank": pa.array([], type=pa.int64()),
+         "score": pa.array([], type=pa.float64())}
+    )
+    if not phrases:
+        return empty
+
+    # phase 2: stream candidates only (bitmap mask; read span pruned to
+    # the candidates' doc-id range via the byte envelope of set bits)
+    nz = np.flatnonzero(union)
+    span_lo, span_hi = int(nz[0]) << 3, (int(nz[-1]) + 1) << 3
+    ds = rd.read_parquet(docs_path, columns=[id_col, text_col])
+    counter = _make_phrase_counter(
+        ray.put(union), phrases, stopwords, stemmer, id_col, text_col
+    )
+
+    def spanned(batch: pa.Table) -> pa.Table:
+        d = batch.column(id_col)
+        m = pc.and_(pc.greater_equal(d, span_lo), pc.less(d, span_hi))
+        return counter(batch.filter(m))
+
+    counts = ds.map_batches(spanned, batch_format="pyarrow").materialize()
+    if counts.count() == 0:
+        return empty
+
+    # tiny per-phrase df aggregate, then vectorized scoring + top-k
+    dfs: dict[str, int] = {}
+    for b in counts.select_columns(["qid"]).iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        qarr = b.column("qid").combine_chunks().to_numpy(zero_copy_only=False)
+        q, c = np.unique(qarr, return_counts=True)
+        for qq, cc in zip(q, c):
+            dfs[str(qq)] = dfs.get(str(qq), 0) + int(cc)
+    avg_idf = man.stats.get("avg_robertson_idf")
+    idf_map = {
+        q: float(idf_fn(params, d, num_docs, avg_idf=avg_idf))
+        for q, d in dfs.items()
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = batch.column("qid").to_pandas().map(idf_map).to_numpy()
+        s = w * tf_shape(
+            params,
+            batch.column("ptf").to_numpy(),
+            batch.column("dl").to_numpy(),
+            avgdl,
+        )
+        return pa.table(
+            {"qid": batch.column("qid"),
+             "doc_id": batch.column("doc_id"),
+             "score": pa.array(np.round(s, 6), type=pa.float64())}
+        )
+
+    top = grouped_topk(
+        counts.map_batches(score, batch_format="pyarrow"),
+        key="qid", score="score", id_col="doc_id", k=k,
+    )
+    parts = list(top.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not parts:
+        return empty
+    tbl = pa.concat_tables(parts)
+    if tbl.num_rows == 0:
+        return empty
+    return pa.table(
+        {"qid": tbl.column("qid").cast(pa.string()),
+         "doc_id": tbl.column("doc_id").cast(pa.int64()),
+         "rank": tbl.column("rank").cast(pa.int64()),
+         "score": tbl.column("score").cast(pa.float64())}
+    )
+
+
+def bool_and_topk(
+    index_dir: str,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    params: BM25Params | None = None,
+    cfg: IndexConfig | None = None,
+) -> pa.Table:
+    """Conjunctive top-k: BM25 ranking restricted to docs containing
+    ALL of each query's terms (Lucene BooleanQuery.MUST).  A query with
+    an out-of-vocab term returns nothing (strict AND); fewer than k
+    conjunctive matches return fewer rows.  Per query: one posting-list
+    intersection → ``search(allowed=bitmap)`` (docfilter mask inside
+    the scorers; full-corpus idf/avgdl, identical score values to the
+    unfiltered ranking)."""
+    params = params or BM25Params()
+    man = Manifest.load(index_dir)
+    if man is None or not man.is_complete():
+        raise ValueError(f"no complete index at {index_dir}")
+    cfg = _cfg_from_manifest(man, cfg)
+    stopwords = resolve_stopwords(cfg.stopwords)
+    stemmer = resolve_stemmer(cfg.stemmer)
+
+    frames: list[pd.DataFrame] = []
+    for qid, text in queries:
+        terms = set(tokenize_text(text, stopwords=stopwords, stemmer=stemmer))
+        if not terms:
+            continue
+        bm = candidate_bitmap(index_dir, terms, man=man)
+        if not bm.any():
+            continue
+        res = search(
+            index_dir, [(qid, text)], params=params, k=k, cfg=cfg,
+            join_back=False, allowed=bm,
+        ).to_pandas()
+        frames.append(res)
+    if not frames:
+        return pa.table(
+            {"qid": pa.array([], type=pa.string()),
+             "doc_id": pa.array([], type=pa.int64()),
+             "rank": pa.array([], type=pa.int64()),
+             "score": pa.array([], type=pa.float64())}
+        )
+    res = pd.concat(frames, ignore_index=True)
+    res["score"] = res["score"].round(6)
+    res = res.sort_values(["qid", "score", "doc_id"],
+                          ascending=[True, False, True])
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    return pa.table(
+        {"qid": pa.array(res["qid"], type=pa.string()),
+         "doc_id": pa.array(res["doc_id"], type=pa.int64()),
+         "rank": pa.array(res["rank"].astype(np.int64)),
+         "score": pa.array(res["score"], type=pa.float64())}
+    )

@@ -236,6 +236,27 @@ def _events_parquet(n_events: int, n_users: int = 150_000) -> str:
     return path
 
 
+def _documents_parquet(docs_sf: float) -> str:
+    """Dense-id documents corpus derived from the synthetic transcripts
+    (doc_id = row rank over the deterministic file order), cached — the
+    fixed input for the phrase-retrieval rows."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from bm25_benchmarks_ray.sources.transcripts import transcripts_dir
+
+    path = os.path.join(BENCH_ROOT, f"docs_sf{docs_sf}.parquet")
+    if not os.path.exists(path):
+        t = pads.dataset(transcripts_dir(docs_sf)).to_table(columns=["text"])
+        t = pa.table(
+            {"doc_id": pa.array(np.arange(t.num_rows, dtype=np.int64)),
+             "text": t.column("text")}
+        )
+        pq.write_table(t, path, row_group_size=1 << 20)
+    return path
+
+
 def run_ext_bench(docs_sf: float = 1.0, n_events: int = 10_000_000) -> dict:
     """Throughput rows for the training-data extension operators at
     fixed inputs: windows over ``n_events`` synthetic events, dedup /
@@ -315,6 +336,30 @@ def run_ext_bench(docs_sf: float = 1.0, n_events: int = 10_000_000) -> dict:
     t0 = time.perf_counter()
     pack_offsets(docs()).count()
     out["pack_docs_per_s"] = round(n_docs / (time.perf_counter() - t0), 1)
+
+    # phrase + ordered-proximity retrieval over a dense-id documents
+    # corpus (same text, doc_id = row rank) — candidates from the
+    # index, streaming bitmap-filtered verify; seconds per 2-phrase
+    # batch, index build cached/excluded
+    from bm25_benchmarks_ray.config import IndexConfig
+    from bm25_benchmarks_ray.pipelines.index_build import build_index
+    from bm25_benchmarks_ray.pipelines.phrase import phrase_topk
+    from bm25_benchmarks_ray.sources.transcripts import _build_vocab
+
+    dpath = _documents_parquet(docs_sf)
+    pidx = os.path.join(BENCH_ROOT, f"pidx_sf{docs_sf}")
+    build_index(dpath, pidx, IndexConfig(stopwords="en", stemmer="none"),
+                mode="documents")
+    vocab = _build_vocab(np.random.RandomState(42))
+    qs = [("p0", f"{vocab[0]} {vocab[1]}"),
+          ("p1", f"{vocab[2]} {vocab[0]} {vocab[1]}")]
+    t0 = time.perf_counter()
+    res = phrase_topk(pidx, dpath, qs, k=10)
+    out["phrase_topk_s"] = round(time.perf_counter() - t0, 3)
+    out["phrase_topk_rows"] = res.num_rows
+    t0 = time.perf_counter()
+    phrase_topk(pidx, dpath, qs, k=10, gap=3)
+    out["near_topk_s"] = round(time.perf_counter() - t0, 3)
     out["ext_docs_sf"] = docs_sf
     out["ext_n_docs"] = n_docs
     out["ext_n_events"] = n_events

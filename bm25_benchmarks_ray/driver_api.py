@@ -266,6 +266,19 @@ def q_phrase_topk(sf_dir: str, method: str = "lucene", k: int = 10):
     )
 
 
+def q_near_topk(sf_dir: str, method: str = "lucene", k: int = 10,
+                gap: int = 3):
+    """Ordered-proximity retrieval (NEAR/3 over the same phrase set):
+    each next term within 3 kept-stream positions, tf = chain starts."""
+    from .pipelines.phrase import phrase_topk
+
+    idx = documents_index(sf_dir)
+    return phrase_topk(
+        idx, _docs_path(sf_dir), PHRASE_QUERIES, k=k,
+        params=BM25Params(method=method), cfg=SQL_CFG, gap=gap,
+    )
+
+
 def q_bool_and_topk(sf_dir: str, method: str = "lucene", k: int = 10):
     """Conjunctive (AND) retrieval: posting-list intersection builds
     the allowed bitmap, then the filtered-search machinery ranks only
@@ -987,12 +1000,17 @@ SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {k}
 """
 
 
-def phrase_topk_sql(method: str = "lucene", k: int = 10) -> str:
+def phrase_topk_sql(method: str = "lucene", k: int = 10, gap: int = 1) -> str:
     """Exact-phrase oracle over the fixed PHRASE_QUERIES: kept-stream
     adjacency (stopwords out, positions renumbered via row_number),
     one self-join chain per phrase, virtual-term BM25 scoring
     idf(df_phrase)·shape(ptf, dl) — pipelines/phrase.py's documented
-    contract, term for term."""
+    contract, term for term.
+
+    ``gap`` > 1 is the ordered-proximity (NEAR) variant: each join
+    allows a window of ``gap`` positions after the PREVIOUS term and
+    ptf counts DISTINCT chain starts (exists-semantics) — the engine's
+    backward-DP start count, tuple for tuple."""
     p = BM25Params(method=method)
     if method == "okapi" and p.epsilon != 0.0:
         raise ValueError("phrase oracle does not support okapi's floor")
@@ -1003,16 +1021,21 @@ def phrase_topk_sql(method: str = "lucene", k: int = 10) -> str:
         toks = tokenize_text(text, stopwords=STOPWORDS_EN, stemmer=None)
         if not toks:
             continue
+        if gap == 1:
+            link = "k{j}.rn = k0.rn + {j}"
+        else:
+            link = "k{j}.rn > k{p}.rn AND k{j}.rn <= k{p}.rn + " + str(gap)
         joins = "\n  ".join(
-            f"JOIN kept k{j} ON k{j}.doc_id = k0.doc_id"
-            f" AND k{j}.rn = k0.rn + {j}"
+            "JOIN kept k{j} ON k{j}.doc_id = k0.doc_id AND ".format(j=j)
+            + link.format(j=j, p=j - 1)
             for j in range(1, len(toks))
         )
         where = " AND ".join(
             f"k{j}.term = '{t}'" for j, t in enumerate(toks)
         )
+        cnt = "count(DISTINCT k0.rn)" if gap > 1 else "count(*)"
         hits.append(
-            f"""  SELECT '{qid}' AS qid, k0.doc_id, count(*)::BIGINT AS ptf
+            f"""  SELECT '{qid}' AS qid, k0.doc_id, {cnt}::BIGINT AS ptf
   FROM kept k0
   {joins}
   WHERE {where}
@@ -1495,6 +1518,8 @@ ORACLE_SQL: dict[str, str] = {
     "hybrid_rrf_topk": hybrid_rrf_sql(),
     # exact phrase: kept-stream adjacency, virtual-term BM25
     "phrase_topk": phrase_topk_sql("lucene"),
+    # ordered proximity (NEAR/3): windowed joins, DISTINCT chain starts
+    "near_topk": phrase_topk_sql("lucene", gap=3),
     # conjunctive AND: ranked set = docs with every query term
     "bool_and_topk": bm25_topk_sql("lucene", conjunctive=True),
     "dedup_exact": DEDUP_EXACT_SQL,
@@ -1558,6 +1583,7 @@ def build_queries() -> dict:
     q["bm25_topk_after_delete"] = q_bm25_topk_after_delete
     q["hybrid_rrf_topk"] = q_hybrid_rrf
     q["phrase_topk"] = q_phrase_topk
+    q["near_topk"] = q_near_topk
     q["bool_and_topk"] = q_bool_and_topk
     q.update(
         {

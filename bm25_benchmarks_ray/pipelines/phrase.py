@@ -205,12 +205,23 @@ def _make_phrase_counter(
     stemmer,
     id_col: str,
     text_col: str,
+    gap: int = 1,
 ):
     """Batch fn: (qid, doc_id, ptf, dl) for every candidate doc with
     ≥1 occurrence of a phrase.  All phrases share one tokenize pass;
     matching runs on the batch's dictionary-encoded kept stream —
     equality tests against phrase-term class ids, one vectorized AND
-    chain per phrase."""
+    chain per phrase.
+
+    ``gap`` — ordered-proximity slack: each next term must appear
+    within ``gap`` kept-stream positions after the previous one
+    (gap=1 ⇒ strict adjacency, the exact-phrase case).  For gap > 1
+    an occurrence is a START position from which a full in-order
+    chain exists (exists-semantics, counted once per start — mirrored
+    by count(DISTINCT k0.rn) in the SQL oracle); the chain test is a
+    backward sweep of one searchsorted per phrase term (take the
+    NEAREST valid continuation — if any continuation is in range, the
+    nearest is), never a tuple enumeration."""
     # phrase terms → dense class ids (shared across phrases)
     pterm_cls: dict[str, int] = {}
     seqs: list[tuple[str, np.ndarray]] = []
@@ -258,14 +269,38 @@ def _make_phrase_counter(
             n = seq.size
             if n == 0 or L < n:
                 continue
-            m = L - n + 1
-            valid = cls_codes[:m] == seq[0]
-            for j in range(1, n):
-                valid &= cls_codes[j: m + j] == seq[j]
-            valid &= doc_of[:m] == doc_of[n - 1:]  # start+end in one doc
-            if not valid.any():
-                continue
-            ptf = np.bincount(doc_of[:m][valid], minlength=sel.size)
+            if gap == 1:
+                m = L - n + 1
+                valid = cls_codes[:m] == seq[0]
+                for j in range(1, n):
+                    valid &= cls_codes[j: m + j] == seq[j]
+                valid &= doc_of[:m] == doc_of[n - 1:]  # start+end in one doc
+                if not valid.any():
+                    continue
+                starts = np.flatnonzero(valid)
+            else:
+                # backward exists-DP: ok = ALL positions of term j+1 from
+                # which a full chain completes; a position p of term j
+                # chains iff the nearest ok strictly after p is within
+                # gap and in the same doc (nearest-of-the-VALID-set, so
+                # no greedy misses — a farther valid q implies this
+                # nearest one is also in range)
+                ok = np.flatnonzero(cls_codes == seq[n - 1])
+                for j in range(n - 2, -1, -1):
+                    if ok.size == 0:
+                        break
+                    pj = np.flatnonzero(cls_codes == seq[j])
+                    if pj.size == 0:
+                        ok = pj
+                        break
+                    nxt = np.searchsorted(ok, pj, side="right")
+                    has = nxt < ok.size
+                    q = ok[np.minimum(nxt, ok.size - 1)]
+                    ok = pj[has & (q <= pj + gap) & (doc_of[q] == doc_of[pj])]
+                starts = ok
+                if starts.size == 0:
+                    continue
+            ptf = np.bincount(doc_of[starts], minlength=sel.size)
             hit = np.flatnonzero(ptf)
             out_q.append(np.full(hit.size, qid, dtype=object))
             out_d.append(sel_ids[hit])
@@ -292,10 +327,18 @@ def phrase_topk(
     cfg: IndexConfig | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    gap: int = 1,
 ) -> pa.Table:
     """Top-k exact-phrase retrieval: (qid, doc_id, rank, score) with
     round-6 deterministic (score desc, doc_id asc) ranking — module doc
-    for semantics and the two-phase design."""
+    for semantics and the two-phase design.
+
+    ``gap`` > 1 relaxes adjacency into ordered proximity (NEAR/n):
+    each next phrase term within ``gap`` kept-stream positions of the
+    previous; tf counts chain START positions (_make_phrase_counter).
+    gap=1 is the exact phrase."""
+    if gap < 1:
+        raise ValueError("gap must be >= 1")
     params = params or BM25Params()
     man = Manifest.load(index_dir)
     if man is None or not man.is_complete():
@@ -333,7 +376,7 @@ def phrase_topk(
     span_lo, span_hi = int(nz[0]) << 3, (int(nz[-1]) + 1) << 3
     ds = rd.read_parquet(docs_path, columns=[id_col, text_col])
     counter = _make_phrase_counter(
-        ray.put(union), phrases, stopwords, stemmer, id_col, text_col
+        ray.put(union), phrases, stopwords, stemmer, id_col, text_col, gap
     )
 
     def spanned(batch: pa.Table) -> pa.Table:

@@ -247,3 +247,88 @@ def test_bool_and_fewer_than_k(ray_session, tmp_path_factory):
                 mode="documents", n_groups=1)
     got = bool_and_topk(idx, [("q", "alpha beta gamma")], k=10).to_pandas()
     assert list(got["doc_id"]) == [2] and list(got["rank"]) == [1]
+
+
+# ---------------------------------------------------------------------
+# ordered proximity (NEAR): gap > 1
+# ---------------------------------------------------------------------
+
+def _py_near_counts(texts, toks, gap, stemmer=None):
+    """{doc_id: (starts, dl)} — exists-semantics chain starts, found by
+    exhaustive recursion (the slow-but-obvious reference)."""
+    out = {}
+    n = len(toks)
+    for d, text in enumerate(texts):
+        ks = _kept(text, stemmer)
+
+        def chain(i, j):
+            if j == n - 1:
+                return True
+            return any(
+                ks[q] == toks[j + 1] and chain(q, j + 1)
+                for q in range(i + 1, min(i + gap, len(ks) - 1) + 1)
+            )
+
+        ptf = sum(1 for i in range(len(ks)) if ks[i] == toks[0] and chain(i, 0))
+        if ptf:
+            out[d] = (ptf, len(ks))
+    return out
+
+
+def test_near_gap1_equals_phrase(corpus):
+    idx, p, _ = corpus
+    for phrase in ("alpha beta", "kappa kappa", "gamma"):
+        a = phrase_topk(idx, p, [("q", phrase)], k=50, gap=1).to_pandas()
+        b = phrase_topk(idx, p, [("q", phrase)], k=50).to_pandas()
+        assert list(a["doc_id"]) == list(b["doc_id"])
+        assert np.allclose(a["score"], b["score"])
+
+
+@pytest.mark.parametrize("phrase,gap", [
+    ("alpha gamma", 2),       # skip one token between
+    ("alpha beta", 3),        # wider window than needed
+    ("alpha beta gamma", 2),  # 3-term chain with slack
+    ("kappa kappa", 2),       # repeated term, windowed
+])
+def test_near_matches_python_reference(corpus, phrase, gap):
+    idx, p, texts = corpus
+    got = phrase_topk(idx, p, [("q", phrase)], k=300, gap=gap).to_pandas()
+    toks = tokenize_text(phrase, stopwords=STOPWORDS_EN, stemmer=None)
+    want = _py_near_counts(texts, toks, gap)
+    assert set(got["doc_id"]) == set(want)
+    # tf parity: recompute scores from the reference counts
+    n_docs = len(texts)
+    avgdl = sum(len(_kept(t)) for t in texts) / n_docs
+    w = float(idf(BM25Params(), len(want), n_docs))
+    ref = {
+        d: round(w * float(tf_shape(BM25Params(), np.array([ptf]),
+                                    np.array([dl]), avgdl)[0]), 6)
+        for d, (ptf, dl) in want.items()
+    }
+    for d, s in zip(got["doc_id"], got["score"]):
+        assert abs(ref[int(d)] - float(s)) < 1e-6
+
+
+def test_near_nongreedy_chain(ray_session, tmp_path_factory):
+    """The DP-over-valid-set case a greedy nearest-next scan would
+    miss: zeta@0 eta@1 eta@2 iota@3 theta@4, phrase (zeta, eta, theta)
+    gap=2 — the chain must route 0 -> 2 -> 4 (eta@1 dead-ends)."""
+    texts = ["zeta eta eta iota theta", "zeta eta iota iota theta"]
+    d = tmp_path_factory.mktemp("ncorpus")
+    p = os.path.join(d, "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "text": pa.array(texts)}), p)
+    idx = str(tmp_path_factory.mktemp("nidx") / "index")
+    build_index(p, idx, IndexConfig(stopwords="en", stemmer="none"),
+                mode="documents", n_groups=1)
+    got = phrase_topk(idx, p, [("q", "zeta eta theta")], k=10,
+                      gap=2).to_pandas()
+    # doc 0 matches only via the farther eta; doc 1's theta is 3 past eta
+    assert list(got["doc_id"]) == [0]
+
+
+def test_near_gap_validation(corpus):
+    idx, p, _ = corpus
+    with pytest.raises(ValueError):
+        phrase_topk(idx, p, [("q", "alpha beta")], gap=0)

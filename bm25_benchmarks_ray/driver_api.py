@@ -75,6 +75,20 @@ PHRASE_QUERIES: list[tuple[str, str]] = [
     ("p04", "slow zzmissing table"),
 ]
 
+# Fixed boolean triad set: (qid, must, should, must_not).  Covers
+# must-only, must+should, OOV must_not (excludes nothing), exclusion,
+# and the empty-must case (eligibility = all docs minus must_not).
+# Both the engine (pipelines/phrase.bool_query_topk) and the SQL
+# oracle (bool_query_sql) require at least one query with must terms
+# and one with must_not terms (VALUES lists cannot be empty).
+BOOL_QUERIES: list[tuple[str, str, str, str]] = [
+    ("b00", "table", "scan fast", "slow"),
+    ("b01", "hash join", "", ""),
+    ("b02", "query window", "sort", "zzmissing"),
+    ("b03", "stream", "value", "customer"),
+    ("b04", "", "merge batch", "vector"),
+]
+
 
 def _docs_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "documents.parquet")
@@ -288,6 +302,18 @@ def q_bool_and_topk(sf_dir: str, method: str = "lucene", k: int = 10):
     idx = documents_index(sf_dir)
     return bool_and_topk(
         idx, DOC_QUERIES, k=k, params=BM25Params(method=method), cfg=SQL_CFG
+    )
+
+
+def q_bool_query_topk(sf_dir: str, method: str = "lucene", k: int = 10):
+    """Full boolean triad (MUST / SHOULD / MUST_NOT) over the fixed
+    BOOL_QUERIES: AND-bitmap for must, inverted OR-bitmap for
+    must_not, BM25 scoring over must+should on the eligible set."""
+    from .pipelines.phrase import bool_query_topk
+
+    idx = documents_index(sf_dir)
+    return bool_query_topk(
+        idx, BOOL_QUERIES, k=k, params=BM25Params(method=method), cfg=SQL_CFG
     )
 
 
@@ -1077,6 +1103,99 @@ SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {k}
 """
 
 
+def bool_query_sql(method: str = "lucene", k: int = 10) -> str:
+    """Boolean-triad oracle over BOOL_QUERIES: eligibility = (all must
+    terms present — strict, OOV never satisfiable; or every doc when
+    the must text is empty) minus (any must_not term present); scores
+    = the dense BM25 formula over the tokenized must+should text,
+    confined to the eligible set — pipelines/phrase.bool_query_topk's
+    contract clause by clause."""
+    p = BM25Params(method=method)
+    s0 = _s0(method, p.k1, p.delta)
+    idf = _idf_sql(method, p.epsilon)
+    shape = _shape_sql(method, p.k1, p.b, p.delta)
+
+    def values(rows: list[tuple[str, str]]) -> str:
+        return ",\n    ".join(f"('{q}', '{t}')" for q, t in rows)
+
+    score_rows, m_rows, n_rows, no_must = [], [], [], []
+    for qid, must, should, must_not in BOOL_QUERIES:
+        for term, w in Counter(
+            tokenize_text(f"{must} {should}", stopwords=STOPWORDS_EN,
+                          stemmer=None)
+        ).items():
+            score_rows.append(f"('{qid}', '{term}', {w})")
+        m = tokenize_text(must, stopwords=STOPWORDS_EN, stemmer=None)
+        if m:
+            m_rows += [(qid, t) for t in m]
+        else:
+            no_must.append(f"('{qid}')")
+        n_rows += [
+            (qid, t)
+            for t in tokenize_text(must_not, stopwords=STOPWORDS_EN,
+                                   stemmer=None)
+        ]
+    return f"""
+WITH {TOKENS_CTE},
+qterms(qid, term, w) AS (VALUES
+    {",".join(score_rows)}
+),
+mterms(qid, term) AS (VALUES
+    {values(m_rows)}
+),
+nterms(qid, term) AS (VALUES
+    {values(n_rows)}
+),
+allq(qid) AS (VALUES {",".join(no_must) if no_must else "(NULL)"}),
+mneed AS (SELECT qid, count(DISTINCT term) AS nt FROM mterms GROUP BY qid),
+mcand AS (
+  SELECT m.qid, tf.doc_id
+  FROM mterms m JOIN tf ON tf.term = m.term JOIN mneed ON mneed.qid = m.qid
+  GROUP BY m.qid, tf.doc_id, mneed.nt
+  HAVING count(DISTINCT m.term) = mneed.nt
+),
+base AS (
+  SELECT a.qid, d.doc_id FROM allq a CROSS JOIN documents d
+  WHERE a.qid IS NOT NULL
+  UNION ALL
+  SELECT qid, doc_id FROM mcand
+),
+ncand AS (
+  SELECT n.qid, tf.doc_id FROM nterms n JOIN tf ON tf.term = n.term
+  GROUP BY n.qid, tf.doc_id
+),
+cand AS (SELECT qid, doc_id FROM base EXCEPT SELECT qid, doc_id FROM ncand),
+qconst AS (
+  SELECT q.qid, coalesce(sum(q.w * {idf}), 0.0) * {s0} AS c
+  FROM qterms q JOIN dfreq ON dfreq.term = q.term CROSS JOIN stats
+  GROUP BY q.qid
+),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         sum(q.w * {idf} * ({shape} - {s0})) AS s
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY q.qid, tf.doc_id
+),
+scored AS (
+  SELECT ca.qid, ca.doc_id,
+         round(coalesce(c.s, 0.0) + coalesce(qc.c, 0.0), 6) AS score
+  FROM cand ca
+  LEFT JOIN contrib c ON c.qid = ca.qid AND c.doc_id = ca.doc_id
+  LEFT JOIN qconst qc ON qc.qid = ca.qid
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {k}
+"""
+
+
 def hybrid_rrf_sql(k: int = 10, k_in: int = 20, c: int = 60) -> str:
     """RRF fusion oracle: BM25(lucene) ranking over documents fused
     with the dense cosine ranking over embeddings (query vectors =
@@ -1522,6 +1641,8 @@ ORACLE_SQL: dict[str, str] = {
     "near_topk": phrase_topk_sql("lucene", gap=3),
     # conjunctive AND: ranked set = docs with every query term
     "bool_and_topk": bm25_topk_sql("lucene", conjunctive=True),
+    # full boolean triad: MUST eligibility minus MUST_NOT exclusion
+    "bool_query_topk": bool_query_sql("lucene"),
     "dedup_exact": DEDUP_EXACT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "embed_cosine_topk": EMBED_TOPK_SQL,
@@ -1585,6 +1706,7 @@ def build_queries() -> dict:
     q["phrase_topk"] = q_phrase_topk
     q["near_topk"] = q_near_topk
     q["bool_and_topk"] = q_bool_and_topk
+    q["bool_query_topk"] = q_bool_query_topk
     q.update(
         {
             "dedup_exact": q_dedup_exact,

@@ -86,12 +86,14 @@ from ..functions.tokenizer import (
     tokenize_text,
 )
 from ..state.manifest import Manifest
-from .docfilter import bitmap_nbytes
+from .docfilter import bitmap_nbytes, invert_bitmap
 from .index_build import SEGMENTS_DIR, VOCAB_DIR
 from .query import search
 from .topk import grouped_topk
 
-__all__ = ["candidate_bitmap", "phrase_topk", "bool_and_topk"]
+__all__ = [
+    "candidate_bitmap", "phrase_topk", "bool_and_topk", "bool_query_topk",
+]
 
 
 def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -117,17 +119,18 @@ def _cfg_from_manifest(man: Manifest, cfg: IndexConfig | None) -> IndexConfig:
     })
 
 
-def candidate_bitmap(
+def _postings_bitmap(
     index_dir: str,
     terms: list[str] | set[str],
     man: Manifest | None = None,
+    op: str = "and",
 ) -> np.ndarray:
-    """Packed uint8 bitmap (docfilter layout) of docs containing ALL
-    ``terms`` — distributed posting-list intersection over the index.
+    """Packed uint8 bitmap (docfilter layout) over the index's posting
+    lists: docs containing ALL ``terms`` (op="and", rarest-df-first
+    sorted intersection) or ANY of them (op="or", running merge).
 
-    Any term absent from the vocab ⇒ all-zeros (strict conjunction).
-    Terms are intersected rarest-df-first so the running candidate set
-    shrinks as fast as possible."""
+    op="and": any term absent from the vocab ⇒ all-zeros (strict
+    conjunction).  op="or": absent terms simply contribute nothing."""
     man = man or Manifest.load(index_dir)
     if man is None or not man.is_complete():
         raise ValueError(f"no complete index at {index_dir}")
@@ -136,36 +139,47 @@ def candidate_bitmap(
     out = np.zeros(bitmap_nbytes(num_docs), dtype=np.uint8)
     terms = sorted(set(terms))
     if not terms:
-        raise ValueError("candidate_bitmap needs at least one term")
+        raise ValueError("postings bitmap needs at least one term")
     v = pads.dataset(os.path.join(index_dir, VOCAB_DIR)).to_table(
         columns=["term", "df"], filter=pc.field("term").isin(terms)
     )
     df_map = dict(zip(v.column("term").to_pylist(), v.column("df").to_pylist()))
-    if len(df_map) < len(terms):
+    if op == "and" and len(df_map) < len(terms):
         return out  # an OOV term can match no doc
-    by_df = sorted(terms, key=lambda t: df_map[t])
+    use = sorted(df_map, key=df_map.get) if op == "and" else sorted(df_map)
+    if not use:
+        return out
 
-    def inter(batch: pa.Table) -> pa.Table:
+    conj = op == "and"
+
+    def scan(batch: pa.Table) -> pa.Table:
         from ..stages.segments import decode_segment, segment_rows_by_term
 
         lo_out: list[int] = []
         buf_out: list[bytes] = []
         for gd in batch.column("group_dir").to_pylist():
-            seg = pads.dataset(gd).to_table(filter=pc.field("term").isin(by_df))
+            seg = pads.dataset(gd).to_table(filter=pc.field("term").isin(use))
             rbt = segment_rows_by_term(seg)
             cur: np.ndarray | None = None
-            for t in by_df:
+            for t in use:
                 rows = rbt.get(t)
                 if not rows:
-                    cur = None
-                    break
+                    if conj:
+                        cur = None
+                        break
+                    continue
                 # multi-part rows (term split across sort partitions)
                 # arrive sorted by first doc, so concat stays ascending
                 parts = [decode_segment(r, block_size)[0] for r in rows]
                 d = parts[0] if len(parts) == 1 else np.concatenate(parts)
-                cur = d if cur is None else _intersect_sorted(cur, d)
-                if cur.size == 0:
-                    break
+                if cur is None:
+                    cur = d
+                elif conj:
+                    cur = _intersect_sorted(cur, d)
+                    if cur.size == 0:
+                        break
+                else:
+                    cur = np.union1d(cur, d)
             if cur is None or cur.size == 0:
                 continue
             b_lo = int(cur[0]) >> 3
@@ -183,7 +197,7 @@ def candidate_bitmap(
         for g in man.done_groups()
     ]
     chunks = rd.from_items(items).map_batches(
-        inter, batch_format="pyarrow", batch_size=1
+        scan, batch_format="pyarrow", batch_size=1
     )
     # groups own disjoint doc ranges, so chunk ORs commute
     for b in chunks.iter_batches(batch_size=None, batch_format="pyarrow"):
@@ -192,6 +206,16 @@ def candidate_bitmap(
             chunk = np.frombuffer(buf, dtype=np.uint8)
             out[lo_: lo_ + chunk.size] |= chunk
     return out
+
+
+def candidate_bitmap(
+    index_dir: str,
+    terms: list[str] | set[str],
+    man: Manifest | None = None,
+) -> np.ndarray:
+    """Packed bitmap of docs containing ALL ``terms`` — distributed
+    posting-list intersection (see _postings_bitmap)."""
+    return _postings_bitmap(index_dir, terms, man=man, op="and")
 
 
 def _bit_test(bitmap: np.ndarray, ids: np.ndarray) -> np.ndarray:
@@ -467,6 +491,87 @@ def bool_and_topk(
             continue
         res = search(
             index_dir, [(qid, text)], params=params, k=k, cfg=cfg,
+            join_back=False, allowed=bm,
+        ).to_pandas()
+        frames.append(res)
+    if not frames:
+        return pa.table(
+            {"qid": pa.array([], type=pa.string()),
+             "doc_id": pa.array([], type=pa.int64()),
+             "rank": pa.array([], type=pa.int64()),
+             "score": pa.array([], type=pa.float64())}
+        )
+    res = pd.concat(frames, ignore_index=True)
+    res["score"] = res["score"].round(6)
+    res = res.sort_values(["qid", "score", "doc_id"],
+                          ascending=[True, False, True])
+    res["rank"] = res.groupby("qid").cumcount() + 1
+    return pa.table(
+        {"qid": pa.array(res["qid"], type=pa.string()),
+         "doc_id": pa.array(res["doc_id"], type=pa.int64()),
+         "rank": pa.array(res["rank"].astype(np.int64)),
+         "score": pa.array(res["score"], type=pa.float64())}
+    )
+
+
+def bool_query_topk(
+    index_dir: str,
+    specs: list[tuple[str, str, str, str]],
+    k: int = 10,
+    params: BM25Params | None = None,
+    cfg: IndexConfig | None = None,
+) -> pa.Table:
+    """Full boolean retrieval — Lucene's MUST / SHOULD / MUST_NOT triad.
+
+    ``specs``: (qid, must, should, must_not) text fields, each run
+    through the index's analyzer.  Eligibility: a doc must contain ALL
+    must terms (strict — an OOV must term empties the query; empty
+    must text means "all docs") and NONE of the must_not terms (an OOV
+    must_not term excludes nothing).  Scoring: ordinary BM25 over the
+    CONCATENATED must + should text (MUST clauses score too, Lucene's
+    behavior), dense semantics confined to the eligible set — an
+    eligible doc matching no scoring term ranks at the query constant.
+
+    Bitmap algebra on the docfilter layout: AND-intersection bitmap
+    for must (posting-list intersection), OR-union bitmap for
+    must_not, eligibility = must & ~must_not, then one
+    ``search(allowed=...)`` per query — the exclusion never touches
+    the scorers, it is pure mask composition."""
+    params = params or BM25Params()
+    man = Manifest.load(index_dir)
+    if man is None or not man.is_complete():
+        raise ValueError(f"no complete index at {index_dir}")
+    cfg = _cfg_from_manifest(man, cfg)
+    num_docs = int(man.stats["num_docs"])
+    stopwords = resolve_stopwords(cfg.stopwords)
+    stemmer = resolve_stemmer(cfg.stemmer)
+
+    def toks(text: str) -> list[str]:
+        return tokenize_text(text, stopwords=stopwords, stemmer=stemmer)
+
+    frames: list[pd.DataFrame] = []
+    for qid, must, should, must_not in specs:
+        m = toks(must)
+        if m:
+            bm = _postings_bitmap(index_dir, m, man=man, op="and")
+            if not bm.any():
+                continue
+        else:
+            bm = invert_bitmap(
+                np.zeros(bitmap_nbytes(num_docs), dtype=np.uint8), num_docs
+            )
+        n = toks(must_not)
+        if n:
+            bm = bm & invert_bitmap(
+                _postings_bitmap(index_dir, n, man=man, op="or"), num_docs
+            )
+            if not bm.any():
+                continue
+        score_text = (must + " " + should).strip()
+        if not toks(score_text):
+            continue  # nothing to rank by (must and should all stopword/OOV)
+        res = search(
+            index_dir, [(qid, score_text)], params=params, k=k, cfg=cfg,
             join_back=False, allowed=bm,
         ).to_pandas()
         frames.append(res)

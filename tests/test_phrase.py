@@ -332,3 +332,71 @@ def test_near_gap_validation(corpus):
     idx, p, _ = corpus
     with pytest.raises(ValueError):
         phrase_topk(idx, p, [("q", "alpha beta")], gap=0)
+
+
+# ---------------------------------------------------------------------
+# boolean triad: MUST / SHOULD / MUST_NOT
+# ---------------------------------------------------------------------
+
+def _py_bool_topk(texts, must, should, must_not, params, k=10):
+    """Reference: eligibility filter over kept-token sets, dense BM25
+    scores over must+should from the numpy oracle."""
+    m = set(tokenize_text(must, stopwords=STOPWORDS_EN, stemmer=None))
+    n = set(tokenize_text(must_not, stopwords=STOPWORDS_EN, stemmer=None))
+    kept_sets = [set(_kept(t)) for t in texts]
+    vocab = set().union(*kept_sets)
+    if m - vocab:
+        return []  # strict: OOV must term
+    elig = [
+        d for d in range(len(texts))
+        if m <= kept_sets[d] and not (n & kept_sets[d])
+    ]
+    if not elig:
+        return []
+    oracle = build_oracle_index(texts)
+    scores = oracle_scores(oracle, f"{must} {should}".strip(), params)
+    rows = sorted(
+        ((d, round(float(scores[d]), 6)) for d in elig),
+        key=lambda r: (-r[1], r[0]),
+    )[:k]
+    return rows
+
+
+@pytest.mark.parametrize("must,should,must_not", [
+    ("alpha", "beta gamma", "kappa"),     # full triad
+    ("alpha beta", "", ""),               # must-only
+    ("alpha", "gamma", "zzmissing"),      # OOV must_not excludes nothing
+    ("", "alpha beta", "kappa"),          # empty must: all docs minus kappa
+])
+def test_bool_query_vs_reference(corpus, must, should, must_not):
+    from bm25_benchmarks_ray.pipelines.phrase import bool_query_topk
+
+    idx, _, texts = corpus
+    params = BM25Params(method="lucene")
+    got = bool_query_topk(
+        idx, [("q", must, should, must_not)], k=10, params=params
+    ).to_pandas()
+    want = _py_bool_topk(texts, must, should, must_not, params, k=10)
+    assert list(got["doc_id"]) == [d for d, _ in want]
+    assert np.allclose(got["score"], [s for _, s in want], atol=1e-6)
+
+
+def test_bool_query_oov_must_is_empty(corpus):
+    from bm25_benchmarks_ray.pipelines.phrase import bool_query_topk
+
+    idx, _, _ = corpus
+    got = bool_query_topk(idx, [("q", "alpha zzmissing", "beta", "")], k=10)
+    assert got.num_rows == 0
+
+
+def test_bool_query_exclusion_respected(corpus):
+    """No returned doc may contain a must_not term."""
+    from bm25_benchmarks_ray.pipelines.phrase import bool_query_topk
+
+    idx, _, texts = corpus
+    got = bool_query_topk(idx, [("q", "alpha", "", "kappa")],
+                          k=200).to_pandas()
+    assert len(got) > 0
+    for d in got["doc_id"]:
+        ks = set(_kept(texts[int(d)]))
+        assert "alpha" in ks and "kappa" not in ks

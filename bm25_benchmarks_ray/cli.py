@@ -202,6 +202,56 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_phrase(args) -> int:
+    """Exact-phrase / ordered-proximity retrieval (pipelines/phrase.py):
+    TSV queries (qid\\tphrase), --gap > 1 relaxes adjacency to NEAR."""
+    from .functions.bm25 import BM25Params
+    from .pipelines.phrase import phrase_topk
+
+    _init_ray(args.num_cpus, args.address)
+    params = BM25Params(method=args.method, k1=args.k1, b=args.b,
+                        delta=args.delta)
+    res = phrase_topk(
+        args.index, args.docs, _read_queries(args.queries),
+        k=args.top_k, params=params, gap=args.gap,
+    ).to_pandas()
+    if args.output:
+        res.to_csv(args.output, sep="\t", index=False)
+        print(f"wrote {len(res)} rows to {args.output}")
+    else:
+        res.to_csv(sys.stdout, sep="\t", index=False)
+    return 0
+
+
+def cmd_boolq(args) -> int:
+    """Boolean-triad retrieval: TSV rows qid\\tmust\\tshould\\tmust_not
+    (empty fields allowed; see pipelines/phrase.bool_query_topk)."""
+    from .functions.bm25 import BM25Params
+    from .pipelines.phrase import bool_query_topk
+
+    _init_ray(args.num_cpus, args.address)
+    specs = []
+    with open(args.queries) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            parts = (line.split("\t") + ["", "", ""])[:4]
+            specs.append(tuple(parts))
+    params = BM25Params(method=args.method, k1=args.k1, b=args.b,
+                        delta=args.delta)
+    res = bool_query_topk(
+        args.index, specs, k=args.top_k, params=params
+    ).to_pandas()
+    res = _maybe_ext_ids(res, args.index)
+    if args.output:
+        res.to_csv(args.output, sep="\t", index=False)
+        print(f"wrote {len(res)} rows to {args.output}")
+    else:
+        res.to_csv(sys.stdout, sep="\t", index=False)
+    return 0
+
+
 def cmd_eval(args) -> int:
     from .config import IndexConfig
     from .functions.bm25 import BM25Params
@@ -401,6 +451,25 @@ def main(argv=None) -> int:
     p.add_argument("--output", default=None)
     _bm25_args(p)
     p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("phrase")
+    p.add_argument("--index", required=True)
+    p.add_argument("--docs", required=True,
+                   help="documents parquet (phase-2 text verify)")
+    p.add_argument("--queries", required=True, help="TSV: qid\\tphrase")
+    p.add_argument("--gap", type=int, default=1,
+                   help="1 = exact phrase; n > 1 = ordered NEAR/n")
+    p.add_argument("--output", default=None)
+    _bm25_args(p)
+    p.set_defaults(fn=cmd_phrase)
+
+    p = sub.add_parser("boolq")
+    p.add_argument("--index", required=True)
+    p.add_argument("--queries", required=True,
+                   help="TSV: qid\\tmust\\tshould\\tmust_not")
+    p.add_argument("--output", default=None)
+    _bm25_args(p)
+    p.set_defaults(fn=cmd_boolq)
 
     p = sub.add_parser("eval")
     p.add_argument("--index", required=True)

@@ -146,3 +146,46 @@ def test_cli_dedup_drop_counts_single_execution(ray_session, tmp_path, capsys):
     assert line["dropped_buckets"] == truth["dropped_buckets"]
     assert line["dropped_docs"] == truth["dropped_docs"]
     assert line["rows"] == ds.count()
+
+
+def test_cli_phrase_and_boolq(ray_session, tmp_path):
+    """phrase / boolq subcommands end-to-end over a documents-mode
+    index: exact phrase, NEAR gap, and must/must_not masking."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bm25_benchmarks_ray import cli
+
+    texts = ["alpha beta gamma", "beta alpha", "alpha the beta", "gamma delta"]
+    docs = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(4), type=pa.int64()),
+                  "text": pa.array(texts)}), docs)
+    idx = str(tmp_path / "idx")
+    assert cli.main(["index", "--input", docs, "--index", idx,
+                     "--mode", "documents", "--stemmer", "none"]) == 0
+
+    qf = tmp_path / "phrases.tsv"
+    qf.write_text("p0\talpha beta\n")
+    out = str(tmp_path / "phrase.tsv")
+    assert cli.main(["phrase", "--index", idx, "--docs", docs,
+                     "--queries", str(qf), "--output", out]) == 0
+    res = pd.read_csv(out, sep="\t")
+    # doc 0 ("alpha beta ...") and doc 2 ("alpha the beta" — stopword
+    # transparent) match; doc 1 has the wrong order
+    assert set(res["doc_id"]) == {0, 2}
+
+    qf.write_text("n0\talpha gamma\n")
+    assert cli.main(["phrase", "--index", idx, "--docs", docs,
+                     "--queries", str(qf), "--gap", "2",
+                     "--output", out]) == 0
+    res = pd.read_csv(out, sep="\t")
+    assert set(res["doc_id"]) == {0}  # alpha .. gamma within 2
+
+    bf = tmp_path / "bool.tsv"
+    bf.write_text("b0\talpha\t\tgamma\n")
+    assert cli.main(["boolq", "--index", idx, "--queries", str(bf),
+                     "--output", out]) == 0
+    res = pd.read_csv(out, sep="\t")
+    assert set(res["doc_id"]) == {1, 2}  # alpha docs minus gamma docs

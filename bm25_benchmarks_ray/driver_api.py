@@ -305,6 +305,19 @@ def q_bool_and_topk(sf_dir: str, method: str = "lucene", k: int = 10):
     )
 
 
+def q_snippet_topk(sf_dir: str, method: str = "lucene", k: int = 10,
+                   window: int = 8):
+    """BM25 top-k + best-window snippet per hit (pipelines/snippets.py)
+    over the fixed DOC_QUERIES."""
+    from .pipelines.snippets import snippet_topk
+
+    idx = documents_index(sf_dir)
+    return snippet_topk(
+        idx, _docs_path(sf_dir), DOC_QUERIES, k=k, window=window,
+        params=BM25Params(method=method), cfg=SQL_CFG,
+    )
+
+
 def q_bool_query_topk(sf_dir: str, method: str = "lucene", k: int = 10):
     """Full boolean triad (MUST / SHOULD / MUST_NOT) over the fixed
     BOOL_QUERIES: AND-bitmap for must, inverted OR-bitmap for
@@ -1103,6 +1116,77 @@ SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {k}
 """
 
 
+def snippet_topk_sql(method: str = "lucene", k: int = 10,
+                     window: int = 8) -> str:
+    """Snippet oracle: the shared BM25 ranked chain picks the hits,
+    then a positional kept stream (pkept — same construction as the
+    phrase oracle) scores every width-``window`` window per hit by
+    query-term occurrences, argmax with earliest-start ties, snippet =
+    string_agg of the window's kept tokens — replicating
+    pipelines/snippets.py clause by clause (incl. the dl < window cap
+    and the empty-doc '' fallback)."""
+    qset_rows = []
+    for qid, text in DOC_QUERIES:
+        for term in sorted(set(
+            tokenize_text(text, stopwords=STOPWORDS_EN, stemmer=None)
+        )):
+            qset_rows.append(f"('{qid}', '{term}')")
+    return f"""
+WITH {_bm25_ranked_ctes(method)},
+ptok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w\\w+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '\\w\\w+'), 1) AS pos
+  FROM documents
+),
+pkept AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM ptok WHERE term NOT IN ({_STOPWORDS_SQL})
+),
+pdl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM pkept GROUP BY doc_id),
+qset(qid, term) AS (VALUES
+    {",".join(qset_rows)}
+),
+hits AS (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {k}),
+hw AS (
+  SELECT h.qid, h.doc_id, LEAST({window}, pdl.dl) AS w, pdl.dl
+  FROM hits h JOIN pdl ON pdl.doc_id = h.doc_id
+),
+starts AS (
+  SELECT hw.qid, hw.doc_id, s.rn AS s, hw.w
+  FROM hw JOIN pkept s
+    ON s.doc_id = hw.doc_id AND s.rn <= hw.dl - hw.w + 1
+),
+wc AS (
+  SELECT st.qid, st.doc_id, st.s, st.w, count(q.term)::BIGINT AS c
+  FROM starts st
+  LEFT JOIN pkept m
+    ON m.doc_id = st.doc_id AND m.rn BETWEEN st.s AND st.s + st.w - 1
+  LEFT JOIN qset q ON q.qid = st.qid AND q.term = m.term
+  GROUP BY st.qid, st.doc_id, st.s, st.w
+),
+best AS (
+  SELECT qid, doc_id, s, w, c,
+         row_number() OVER (PARTITION BY qid, doc_id
+                            ORDER BY c DESC, s ASC) AS rnk
+  FROM wc
+),
+snips AS (
+  SELECT b.qid, b.doc_id, b.s, b.c,
+         (SELECT string_agg(t2.term, ' ' ORDER BY t2.rn) FROM pkept t2
+          WHERE t2.doc_id = b.doc_id
+            AND t2.rn BETWEEN b.s AND b.s + b.w - 1) AS snippet
+  FROM best b WHERE b.rnk = 1
+)
+SELECT h.qid, h.doc_id, h.rank, h.score,
+       coalesce(sn.s, 1)::BIGINT AS snip_start,
+       coalesce(sn.c, 0)::BIGINT AS snip_score,
+       coalesce(sn.snippet, '') AS snippet
+FROM hits h
+LEFT JOIN snips sn ON sn.qid = h.qid AND sn.doc_id = h.doc_id
+"""
+
+
 def bool_query_sql(method: str = "lucene", k: int = 10) -> str:
     """Boolean-triad oracle over BOOL_QUERIES: eligibility = (all must
     terms present — strict, OOV never satisfiable; or every doc when
@@ -1643,6 +1727,8 @@ ORACLE_SQL: dict[str, str] = {
     "bool_and_topk": bm25_topk_sql("lucene", conjunctive=True),
     # full boolean triad: MUST eligibility minus MUST_NOT exclusion
     "bool_query_topk": bool_query_sql("lucene"),
+    # best-window snippet per hit, earliest-start ties
+    "snippet_topk": snippet_topk_sql("lucene"),
     "dedup_exact": DEDUP_EXACT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "embed_cosine_topk": EMBED_TOPK_SQL,
@@ -1707,6 +1793,7 @@ def build_queries() -> dict:
     q["near_topk"] = q_near_topk
     q["bool_and_topk"] = q_bool_and_topk
     q["bool_query_topk"] = q_bool_query_topk
+    q["snippet_topk"] = q_snippet_topk
     q.update(
         {
             "dedup_exact": q_dedup_exact,

@@ -1,0 +1,232 @@
+"""Snippet (best-passage highlight) extraction for retrieval results.
+
+The classic search-result surface (Lucene's Highlighter / unified
+highlighter): for every (query, hit) pair, find the window of W kept
+tokens containing the most query-term occurrences and return it as the
+hit's snippet.  The reference harness has no equivalent (bm25s returns
+bare doc ids); a complete engine needs one.
+
+Contract (mirrored exactly by driver_api.snippet_topk_sql):
+
+* the window slides over the KEPT token stream (stopwords removed,
+  positions renumbered — the same stream every other operator here
+  scores on), width ``window`` capped at the doc's kept length;
+* window score = number of positions inside it whose term is one of
+  the query's DISTINCT tokenized terms (occurrences count, not
+  distinct terms — "beta beta" in-window scores 2);
+* ties break to the EARLIEST window start;
+* the snippet is the window's kept tokens joined by one space —
+  a normalized excerpt, deliberately reconstructable by the SQL
+  oracle (raw-text offsets would need per-token byte spans, an
+  index-format change the two-phase design avoids).
+
+Shape: ranking comes first (``search`` — unchanged), so snippets are
+needed for exactly Q×k docs.  One streaming bitmap-filtered pass over
+the corpus re-tokenizes only HIT docs (the phrase phase-2 pattern:
+read span pruned to the hits' doc range, per-batch bitmap mask) and
+computes every (qid, doc) window argmax vectorized: per-doc sliding
+window sums via one cumsum, argmax per hit pair.  Output is Q×k rows
+— never corpus-scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..config import IndexConfig
+from ..functions.bm25 import BM25Params
+from ..functions.tokenizer import (
+    dict_token_stream,
+    resolve_stemmer,
+    resolve_stopwords,
+    tokenize_text,
+)
+from ..state.manifest import Manifest
+from .docfilter import bitmap_from_ids
+from .phrase import _bit_test, _cfg_from_manifest
+from .query import search
+
+__all__ = ["snippet_topk"]
+
+
+def _best_window(
+    is_hit: np.ndarray, w: int
+) -> tuple[int, int]:
+    """(start, score) of the best width-``w`` window over a 0/1 hit
+    indicator — max window sum, earliest start on ties; w is capped at
+    the array length by the caller."""
+    c = np.zeros(is_hit.size + 1, dtype=np.int64)
+    np.cumsum(is_hit, out=c[1:])
+    sums = c[w:] - c[:-w]          # window sums for starts 0..L-w
+    s = int(np.argmax(sums))       # argmax returns the FIRST maximum
+    return s, int(sums[s])
+
+
+def snippet_topk(
+    index_dir: str,
+    docs_path: str,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    window: int = 8,
+    params: BM25Params | None = None,
+    cfg: IndexConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """BM25 top-k plus the best-window snippet per hit:
+    (qid, doc_id, rank, score, snip_start, snip_score, snippet).
+    ``snip_start`` is the 1-based kept-stream position of the window
+    (the SQL oracle's row_number space)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    params = params or BM25Params()
+    man = Manifest.load(index_dir)
+    if man is None or not man.is_complete():
+        raise ValueError(f"no complete index at {index_dir}")
+    cfg = _cfg_from_manifest(man, cfg)
+    num_docs = int(man.stats["num_docs"])
+    stopwords = resolve_stopwords(cfg.stopwords)
+    stemmer = resolve_stemmer(cfg.stemmer)
+
+    res = search(
+        index_dir, queries, params=params, k=k, cfg=cfg, join_back=False
+    ).to_pandas()
+    res["score"] = res["score"].round(6)
+    res = res.sort_values(["qid", "score", "doc_id"],
+                          ascending=[True, False, True])
+    res["rank"] = res.groupby("qid").cumcount() + 1
+
+    empty_cols = {
+        "qid": pa.array([], type=pa.string()),
+        "doc_id": pa.array([], type=pa.int64()),
+        "rank": pa.array([], type=pa.int64()),
+        "score": pa.array([], type=pa.float64()),
+        "snip_start": pa.array([], type=pa.int64()),
+        "snip_score": pa.array([], type=pa.int64()),
+        "snippet": pa.array([], type=pa.string()),
+    }
+    if res.empty:
+        return pa.table(empty_cols)
+
+    # hit structures: doc -> [(qid, terms-set-id)], one distinct-term
+    # set per qid (weights are irrelevant to window counts)
+    qterms: dict[str, set[str]] = {
+        qid: set(tokenize_text(text, stopwords=stopwords, stemmer=stemmer))
+        for qid, text in queries
+    }
+    hit_doc = res["doc_id"].to_numpy(np.int64)
+    hit_qid = res["qid"].to_numpy(object)
+    bitmap = bitmap_from_ids(np.unique(hit_doc), num_docs)
+    order = np.argsort(hit_doc, kind="stable")
+    hd_sorted, hq_sorted = hit_doc[order], hit_qid[order]
+
+    bm_ref = ray.put(bitmap)
+    span_lo, span_hi = int(hit_doc.min()), int(hit_doc.max()) + 1
+
+    def snip(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"qid": pa.array([], type=pa.string()),
+             "doc_id": pa.array([], type=pa.int64()),
+             "snip_start": pa.array([], type=pa.int64()),
+             "snip_score": pa.array([], type=pa.int64()),
+             "snippet": pa.array([], type=pa.string())}
+        )
+        d = batch.column(id_col)
+        m = pc.and_(pc.greater_equal(d, span_lo), pc.less(d, span_hi))
+        batch = batch.filter(m)
+        ids = batch.column(id_col).to_numpy().astype(np.int64, copy=False)
+        if ids.size == 0:
+            return empty
+        sel = np.flatnonzero(_bit_test(ray.get(bm_ref), ids))
+        if sel.size == 0:
+            return empty
+        sel_ids = ids[sel]
+        codes, uniq, doc_of, _ = dict_token_stream(
+            batch.column(text_col).take(pa.array(sel))
+        )
+        if stopwords:
+            stop = np.fromiter((u in stopwords for u in uniq), dtype=bool,
+                               count=len(uniq))
+            keep = ~stop[codes]
+            codes, doc_of = codes[keep], doc_of[keep]
+        names = [stemmer(u) for u in uniq] if stemmer else list(uniq)
+        starts_of = np.searchsorted(doc_of, np.arange(sel.size))
+        ends_of = np.searchsorted(doc_of, np.arange(sel.size), side="right")
+        out: dict[str, list] = {
+            "qid": [], "doc_id": [], "snip_start": [], "snip_score": [],
+            "snippet": [],
+        }
+        # per distinct qid present among this batch's hits: one
+        # membership vector over the batch dictionary, then per-doc
+        # window argmax (docs per batch × hits per doc is small — the
+        # scan is already bitmap-confined to Q×k docs corpus-wide)
+        lo_i = int(np.searchsorted(hd_sorted, int(sel_ids.min()), side="left"))
+        hi_i = int(np.searchsorted(hd_sorted, int(sel_ids.max()), side="right"))
+        here = slice(lo_i, hi_i)
+        pos_of = {int(v): int(p) for p, v in enumerate(sel_ids)}
+        member_cache: dict[str, np.ndarray] = {}
+        for hdoc, hq in zip(hd_sorted[here], hq_sorted[here]):
+            p = pos_of.get(int(hdoc))
+            if p is None:
+                continue
+            mem = member_cache.get(hq)
+            if mem is None:
+                ts = qterms[hq]
+                mem = member_cache[hq] = np.fromiter(
+                    (nm in ts for nm in names), dtype=bool, count=len(names)
+                )
+            a, b = int(starts_of[p]), int(ends_of[p])
+            toks = codes[a:b]
+            if toks.size == 0:
+                out["qid"].append(hq)
+                out["doc_id"].append(int(hdoc))
+                out["snip_start"].append(1)
+                out["snip_score"].append(0)
+                out["snippet"].append("")
+                continue
+            w = min(window, toks.size)
+            s, sc = _best_window(mem[toks].astype(np.int64), w)
+            out["qid"].append(hq)
+            out["doc_id"].append(int(hdoc))
+            out["snip_start"].append(s + 1)  # 1-based (SQL row_number)
+            out["snip_score"].append(sc)
+            out["snippet"].append(" ".join(names[t] for t in toks[s: s + w]))
+        return pa.table(
+            {"qid": pa.array(out["qid"], type=pa.string()),
+             "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+             "snip_start": pa.array(out["snip_start"], type=pa.int64()),
+             "snip_score": pa.array(out["snip_score"], type=pa.int64()),
+             "snippet": pa.array(out["snippet"], type=pa.string())}
+        )
+
+    ds = rd.read_parquet(docs_path, columns=[id_col, text_col])
+    parts = list(
+        ds.map_batches(snip, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    snips = (
+        pa.concat_tables(parts).to_pandas()
+        if parts
+        else pd.DataFrame(columns=["qid", "doc_id", "snip_start",
+                                   "snip_score", "snippet"])
+    )
+    merged = res.merge(snips, on=["qid", "doc_id"], how="left")
+    merged["snip_start"] = merged["snip_start"].fillna(1).astype(np.int64)
+    merged["snip_score"] = merged["snip_score"].fillna(0).astype(np.int64)
+    merged["snippet"] = merged["snippet"].fillna("")
+    merged = merged.sort_values(["qid", "rank"])
+    return pa.table(
+        {"qid": pa.array(merged["qid"], type=pa.string()),
+         "doc_id": pa.array(merged["doc_id"], type=pa.int64()),
+         "rank": pa.array(merged["rank"].astype(np.int64)),
+         "score": pa.array(merged["score"], type=pa.float64()),
+         "snip_start": pa.array(merged["snip_start"], type=pa.int64()),
+         "snip_score": pa.array(merged["snip_score"], type=pa.int64()),
+         "snippet": pa.array(merged["snippet"], type=pa.string())}
+    )

@@ -412,15 +412,23 @@ def phrase_topk(
     if counts.count() == 0:
         return empty
 
-    # tiny per-phrase df aggregate, then vectorized scoring + top-k
-    dfs: dict[str, int] = {}
-    for b in counts.select_columns(["qid"]).iter_batches(
-        batch_size=None, batch_format="pyarrow"
-    ):
+    # per-phrase df: per-block partial value counts (≤ #phrases rows per
+    # block leave each task — the driver never pulls the qid column)
+    def dfc(b: pa.Table) -> pa.Table:
         qarr = b.column("qid").combine_chunks().to_numpy(zero_copy_only=False)
         q, c = np.unique(qarr, return_counts=True)
-        for qq, cc in zip(q, c):
-            dfs[str(qq)] = dfs.get(str(qq), 0) + int(cc)
+        return pa.table(
+            {"qid": pa.array(q, type=pa.string()),
+             "n": pa.array(c, type=pa.int64())}
+        )
+
+    dfs: dict[str, int] = {}
+    for b in counts.map_batches(dfc, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for qq, cc in zip(b.column("qid").to_pylist(),
+                          b.column("n").to_pylist()):
+            dfs[qq] = dfs.get(qq, 0) + int(cc)
     avg_idf = man.stats.get("avg_robertson_idf")
     idf_map = {
         q: float(idf_fn(params, d, num_docs, avg_idf=avg_idf))

@@ -21,9 +21,11 @@ Contract (mirrored exactly by driver_api.snippet_topk_sql):
   index-format change the two-phase design avoids).
 
 Shape: ranking comes first (``search`` — unchanged), so snippets are
-needed for exactly Q×k docs.  One streaming bitmap-filtered pass over
-the corpus re-tokenizes only HIT docs (the phrase phase-2 pattern:
-read span pruned to the hits' doc range, per-batch bitmap mask) and
+needed for exactly Q×k docs.  One streaming pass over the corpus
+re-tokenizes only HIT docs — read span pruned to the hits' doc range,
+per-batch membership by searchsorted against the broadcast SORTED hit
+ids (Q·k·8 bytes; hits are top-k results, so unlike the phrase
+candidate set a num_docs/8 bitmap is never justified here) — and
 computes every (qid, doc) window argmax vectorized: per-doc sliding
 window sums via one cumsum, argmax per hit pair.  Output is Q×k rows
 — never corpus-scale.
@@ -47,8 +49,7 @@ from ..functions.tokenizer import (
     tokenize_text,
 )
 from ..state.manifest import Manifest
-from .docfilter import bitmap_from_ids
-from .phrase import _bit_test, _cfg_from_manifest
+from .phrase import _cfg_from_manifest
 from .query import search
 
 __all__ = ["snippet_topk"]
@@ -89,7 +90,6 @@ def snippet_topk(
     if man is None or not man.is_complete():
         raise ValueError(f"no complete index at {index_dir}")
     cfg = _cfg_from_manifest(man, cfg)
-    num_docs = int(man.stats["num_docs"])
     stopwords = resolve_stopwords(cfg.stopwords)
     stemmer = resolve_stemmer(cfg.stemmer)
 
@@ -121,11 +121,14 @@ def snippet_topk(
     }
     hit_doc = res["doc_id"].to_numpy(np.int64)
     hit_qid = res["qid"].to_numpy(object)
-    bitmap = bitmap_from_ids(np.unique(hit_doc), num_docs)
     order = np.argsort(hit_doc, kind="stable")
     hd_sorted, hq_sorted = hit_doc[order], hit_qid[order]
 
-    bm_ref = ray.put(bitmap)
+    # membership by searchsorted against the SORTED hit ids (Q·k·8
+    # bytes broadcast — hits are top-k results, so unlike the phrase
+    # candidate set this never justifies a num_docs/8 bitmap)
+    hit_ids = np.unique(hit_doc)
+    ids_ref = ray.put(hit_ids)
     span_lo, span_hi = int(hit_doc.min()), int(hit_doc.max()) + 1
 
     def snip(batch: pa.Table) -> pa.Table:
@@ -142,7 +145,11 @@ def snippet_topk(
         ids = batch.column(id_col).to_numpy().astype(np.int64, copy=False)
         if ids.size == 0:
             return empty
-        sel = np.flatnonzero(_bit_test(ray.get(bm_ref), ids))
+        hid = ray.get(ids_ref)
+        pos = np.searchsorted(hid, ids)
+        ok = pos < hid.size
+        ok[ok] = hid[pos[ok]] == ids[ok]
+        sel = np.flatnonzero(ok)
         if sel.size == 0:
             return empty
         sel_ids = ids[sel]

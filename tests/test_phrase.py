@@ -400,3 +400,33 @@ def test_bool_query_exclusion_respected(corpus):
     for d in got["doc_id"]:
         ks = set(_kept(texts[int(d)]))
         assert "alpha" in ks and "kappa" not in ks
+
+
+def test_near_randomized_sweep(corpus):
+    """Randomized hardening of the chain-DP: many (phrase, gap) combos
+    over the module corpus, each checked doc-for-doc against the
+    exhaustive-recursion reference (exists-semantics start counts)."""
+    idx, p, texts = corpus
+    rng = np.random.RandomState(7)
+    base = ["alpha", "beta", "gamma", "kappa", "zeta", "eta"]
+    combos = []
+    for _ in range(12):
+        n = int(rng.randint(2, 5))
+        toks = [base[i] for i in rng.randint(0, len(base), size=n)]
+        combos.append((" ".join(toks), int(rng.randint(2, 5))))
+    for phrase, gap in combos:
+        got = phrase_topk(idx, p, [("q", phrase)], k=500,
+                          gap=gap).to_pandas()
+        toks = tokenize_text(phrase, stopwords=STOPWORDS_EN, stemmer=None)
+        want = _py_near_counts(texts, toks, gap)
+        assert set(got["doc_id"]) == set(want), (phrase, gap)
+        if want:
+            n_docs = len(texts)
+            avgdl = sum(len(_kept(t)) for t in texts) / n_docs
+            w = float(idf(BM25Params(), len(want), n_docs))
+            for d, s in zip(got["doc_id"], got["score"]):
+                ptf, dl = want[int(d)]
+                ref = round(w * float(tf_shape(
+                    BM25Params(), np.array([ptf]), np.array([dl]), avgdl
+                )[0]), 6)
+                assert abs(ref - float(s)) < 1e-6, (phrase, gap, d)

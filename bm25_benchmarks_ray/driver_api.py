@@ -1586,8 +1586,8 @@ m AS (
 ),
 s AS (
   SELECT user_id, tsu, value,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-                        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
   FROM m
 )
 SELECT user_id, session_idx, min(tsu) AS start_us, max(tsu) AS end_us,

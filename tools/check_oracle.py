@@ -75,7 +75,7 @@ def main() -> int:
         if not status:
             try:
                 pd.testing.assert_frame_equal(
-                    got, exp, check_dtype=False, check_exact=False, atol=1e-6, rtol=1e-9
+                    got, exp, check_dtype=True, check_exact=False, atol=1e-6, rtol=1e-9
                 )
             except AssertionError as ex:
                 status.append("VALUES " + str(ex).splitlines()[-1][:120])

@@ -336,24 +336,30 @@ FILTER_PRED_SQL = "lang = 'en'"
 def q_bm25_topk_filtered(sf_dir: str, method: str = "lucene", k: int = 10):
     """Filtered retrieval: BM25 top-k among documents WHERE lang='en'
     (44% of the corpus).  The predicate is evaluated distributed and
-    column-pruned (read doc_id+lang only), packed into the docfilter
-    bitmap, and shipped once inside the query plan; full-corpus idf /
-    avgdl semantics per the docfilter module doc."""
+    column-pruned (read doc_id+lang only), packed into per-group
+    docfilter shards (no corpus-wide array anywhere — driver peak is
+    one group's byte slice) that the scoring tasks fetch slice-wise;
+    full-corpus idf / avgdl semantics per the docfilter module doc."""
     import pyarrow.compute as pc
     import ray.data as rd
 
-    from .pipelines.docfilter import allowed_bitmap
+    from .pipelines.docfilter import allowed_shards
     from .state.manifest import Manifest
 
     idx = documents_index(sf_dir)
-    num_docs = int(Manifest.load(idx).stats["num_docs"])
+    man = Manifest.load(idx)
+    num_docs = int(man.stats["num_docs"])
+    ranges = [
+        (int(e["doc_lo"]), int(e["doc_hi"]))
+        for g in man.done_groups() for e in [man.groups[str(g)]]
+    ]
     ids = rd.read_parquet(
         _docs_path(sf_dir), columns=["doc_id", "lang"]
     ).map_batches(
         lambda b: b.filter(pc.equal(b.column("lang"), "en")).select(["doc_id"]),
         batch_format="pyarrow",
     )
-    bm = allowed_bitmap(ids, num_docs)
+    bm = allowed_shards(ids, num_docs, ranges)
     res = search(
         idx,
         DOC_QUERIES,

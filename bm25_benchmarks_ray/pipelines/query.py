@@ -466,14 +466,22 @@ def score_range(
     # ids only.  Pruning is off under a mask — block-max bounds ignore
     # the filter, so the pruned scorer's early top-k could be crowded
     # by disallowed docs; the dense/sort exhaustive paths stay exact.
-    allowed_bits = plan.get("allowed")
     allow_slice = None
-    if allowed_bits is not None:
-        from .docfilter import bitmap_slice
-
-        hi_eff = min(hi, int(allowed_bits.size) << 3)
-        allow_slice = bitmap_slice(allowed_bits, lo, hi_eff)
+    shards = plan.get("allowed_shards")
+    if shards is not None:
+        # sharded publication: fetch ONLY this range's group slice
+        # (BitmapShards caches the get per plan instance, so the rows
+        # of one task batch sharing a group fetch it once)
+        allow_slice = shards.mask(lo, hi)
         prune = False
+    else:
+        allowed_bits = plan.get("allowed")
+        if allowed_bits is not None:
+            from .docfilter import bitmap_slice
+
+            hi_eff = min(hi, int(allowed_bits.size) << 3)
+            allow_slice = bitmap_slice(allowed_bits, lo, hi_eff)
+            prune = False
 
     out_qi: list[np.ndarray] = []
     out_doc: list[np.ndarray] = []
@@ -948,12 +956,15 @@ def search(
     zero-scored, they are out of scope.
 
     ``allowed`` — filtered retrieval: a packed uint8 bitmap over
-    [0, num_docs) (pipelines/docfilter.py) restricting results to the
-    set bits.  Collection stats (N, df, avgdl) stay full-corpus (the
-    Lucene/ES filtered-query semantics); ranking, ties and qconst
-    padding are all confined to allowed docs.  The bitmap ships once
-    inside the broadcast plan; each task unpacks only its own
-    doc-range slice.  Forces the exhaustive scorer (pruning bounds
+    [0, num_docs) OR a pre-published ``docfilter.BitmapShards``
+    restricting results to the set bits.  Collection stats (N, df,
+    avgdl) stay full-corpus (the Lucene/ES filtered-query semantics);
+    ranking, ties and qconst padding are all confined to allowed docs.
+    Whenever the index records contiguous group doc ranges the mask is
+    (re)published as per-group shards — one object per group, fetched
+    slice-wise by each scoring task, so no corpus-wide array ever
+    ships; a full array in the plan survives only for range-less
+    legacy indexes.  Forces the exhaustive scorer (pruning bounds
     ignore the mask)."""
     params = params or BM25Params()
     man = Manifest.load(index_dir)
@@ -966,7 +977,15 @@ def search(
     num_docs = man.stats["num_docs"]
     avgdl = man.stats["avgdl"]
 
-    if allowed is not None:
+    from .docfilter import BitmapShards
+
+    if isinstance(allowed, BitmapShards):
+        if allowed.num_docs != num_docs:
+            raise ValueError(
+                f"allowed shards cover num_docs={allowed.num_docs}, "
+                f"index has {num_docs}"
+            )
+    elif allowed is not None:
         allowed = np.ascontiguousarray(allowed, dtype=np.uint8)
         need = (num_docs + 7) >> 3
         if allowed.size != need:
@@ -975,29 +994,15 @@ def search(
                 f"for num_docs={num_docs}"
             )
 
-    # index-level deletes (tombstones.py): fold NOT-deleted into the
-    # allowed mask — composes with a user filter by bitwise AND
-    from .tombstones import tombstone_allowed
+    # index-level deletes (tombstones.py): folded into the allowed
+    # shards below — composes with a user filter by per-group AND
+    from .tombstones import load_tombstones
 
-    t_allowed = tombstone_allowed(index_dir, num_docs)
-    if t_allowed is not None:
-        allowed = t_allowed if allowed is None else allowed & t_allowed
-    if allowed is not None:
+    deleted = load_tombstones(index_dir)
+    if deleted is not None and deleted.size == 0:
+        deleted = None
+    if allowed is not None or deleted is not None:
         mode = "exhaustive"
-
-    t0 = time.perf_counter()
-    tokenized = tokenize_queries(queries, cfg)
-    t1 = time.perf_counter()
-    plan = _query_plan(
-        tokenized, index_dir, params, num_docs,
-        avg_idf=man.stats.get("avg_robertson_idf"),
-    )
-    if allowed is not None:
-        plan["allowed"] = allowed
-    plan_ref = ray.put(plan)
-    if os.environ.get("BM25RD_TIMING"):
-        print(f"[timing] query.tokenize: {t1 - t0:.3f}s  "
-              f"query.plan: {time.perf_counter() - t1:.3f}s", file=sys.stderr)
 
     gids = man.done_groups()
     if groups is not None:
@@ -1021,8 +1026,46 @@ def search(
         spans = sorted(ranges.values())
         if any(b[0] < a[1] for a, b in zip(spans, spans[1:])):
             ranges = {}  # overlapping groups: ranges unusable
+
+    t0 = time.perf_counter()
+    tokenized = tokenize_queries(queries, cfg)
+    t1 = time.perf_counter()
+    plan = _query_plan(
+        tokenized, index_dir, params, num_docs,
+        avg_idf=man.stats.get("avg_robertson_idf"),
+    )
+    if allowed is not None or deleted is not None:
+        if ranges:
+            # sharded publication (docfilter.BitmapShards): one object
+            # per group, fetched slice-wise by the scoring tasks — the
+            # plan never carries a corpus-wide array
+            from .docfilter import compose_shards
+
+            plan["allowed_shards"] = compose_shards(
+                sorted(ranges.values()), num_docs,
+                user=allowed, deleted_ids=deleted,
+            )
+        else:
+            # range-less legacy index: corpus-wide array in the plan
+            if isinstance(allowed, BitmapShards):
+                raise ValueError(
+                    "sharded filter requires contiguous per-group doc ranges"
+                )
+            full = allowed
+            if deleted is not None:
+                from .docfilter import bitmap_from_ids, invert_bitmap
+
+                t_allowed = invert_bitmap(
+                    bitmap_from_ids(deleted, num_docs), num_docs)
+                full = t_allowed if full is None else full & t_allowed
+            plan["allowed"] = full
+    plan_ref = ray.put(plan)
+    if os.environ.get("BM25RD_TIMING"):
+        print(f"[timing] query.tokenize: {t1 - t0:.3f}s  "
+              f"query.plan: {time.perf_counter() - t1:.3f}s", file=sys.stderr)
+
     dense_pad = dense_ids and bool(ranges)
-    if allowed is not None and dense_ids and not dense_pad:
+    if (allowed is not None or deleted is not None) and dense_ids and not dense_pad:
         # merge-side legacy padding is mask-unaware; every index this
         # engine writes records contiguous group ranges, so this only
         # rejects filtered search over pre-range-era indexes

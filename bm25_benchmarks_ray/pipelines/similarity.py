@@ -43,9 +43,35 @@ def _cosine_matrix(m: np.ndarray, q: np.ndarray) -> np.ndarray:
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     # float64 throughout: float32 matmuls diverge from the float64 SQL
     # oracle in the 7th decimal, flipping 6-decimal rounded scores.
+    #
+    # Zero-copy fast path: fixed-dimension embeddings stored as
+    # list<double>/fixed_size_list<double> expose their flat values
+    # buffer directly — reshape it (n, d) with no per-element Python
+    # conversion.  Requires dense offsets (no nulls, uniform length);
+    # anything else falls back to the python materialization.
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    n = len(arr)
+    if n and arr.null_count == 0:
+        if pa.types.is_fixed_size_list(arr.type):
+            d = arr.type.list_size
+            flat = arr.values
+            if flat.null_count == 0:
+                m = flat.to_numpy(zero_copy_only=True).reshape(n, d)
+                return m if m.dtype == np.float64 else m.astype(np.float64)
+        elif pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+            off = arr.offsets.to_numpy(zero_copy_only=True)
+            widths = np.diff(off)
+            if widths.size and (widths == widths[0]).all():
+                d = int(widths[0])
+                flat = arr.values
+                if flat.null_count == 0:
+                    vals = flat.to_numpy(zero_copy_only=True)
+                    # the list's window into the values buffer may be
+                    # offset (sliced arrays): index from the first offset
+                    m = vals[int(off[0]) : int(off[0]) + n * d].reshape(n, d)
+                    return m if m.dtype == np.float64 else m.astype(np.float64)
     return np.asarray(arr.to_pylist(), dtype=np.float64)
 
 

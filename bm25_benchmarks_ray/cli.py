@@ -215,6 +215,7 @@ def cmd_phrase(args) -> int:
         args.index, args.docs, _read_queries(args.queries),
         k=args.top_k, params=params, gap=args.gap,
     ).to_pandas()
+    res = _maybe_ext_ids(res, args.index)
     if args.output:
         res.to_csv(args.output, sep="\t", index=False)
         print(f"wrote {len(res)} rows to {args.output}")

@@ -1206,7 +1206,15 @@ def bool_query_sql(method: str = "lucene", k: int = 10) -> str:
     shape = _shape_sql(method, p.k1, p.b, p.delta)
 
     def values(rows: list[tuple[str, str]]) -> str:
-        return ",\n    ".join(f"('{q}', '{t}')" for q, t in rows)
+        # an empty VALUES list is a SQL syntax error — emit a typed
+        # empty relation instead, so the generator stays valid for
+        # arbitrary query sets (none with must terms / none with
+        # must_not terms), not just the fixed BOOL_QUERIES
+        if not rows:
+            return ("SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) "
+                    "WHERE FALSE")
+        return "VALUES\n    " + ",\n    ".join(
+            f"('{q}', '{t}')" for q, t in rows)
 
     score_rows, m_rows, n_rows, no_must = [], [], [], []
     for qid, must, should, must_not in BOOL_QUERIES:
@@ -1230,10 +1238,10 @@ WITH {TOKENS_CTE},
 qterms(qid, term, w) AS (VALUES
     {",".join(score_rows)}
 ),
-mterms(qid, term) AS (VALUES
+mterms(qid, term) AS (
     {values(m_rows)}
 ),
-nterms(qid, term) AS (VALUES
+nterms(qid, term) AS (
     {values(n_rows)}
 ),
 allq(qid) AS (VALUES {",".join(no_must) if no_must else "(NULL)"}),

@@ -14,8 +14,8 @@ the corpus) plus a prefix sum over conv_ids in sorted order.
 
 Fast path: when turn_idx is dense 0..n-1 within every conv (true for
 transcript logs), rank == turn_idx and assignment is a pure broadcast-
-lookup map_batches.  Fallback: a per-conv dense rank via
-groupby(conv_id).map_groups.
+lookup map_batches.  Fallback: a per-conv dense rank on the
+hash-boundary sort + whole-partition kernel (windows._hash_sorted).
 
 Scale note (100 TB): the conv->offset map has one entry per
 conversation.  Up to O(10^8) convs the `ray.put` broadcast below is
@@ -151,16 +151,48 @@ def _assign_doc_ids_join(ds: rd.Dataset, offsets: pd.DataFrame) -> rd.Dataset:
 
 
 def _assign_doc_ids_ranked(ds: rd.Dataset, offsets: pd.DataFrame) -> rd.Dataset:
-    """Sparse-turn fallback: dense rank within conv via map_groups."""
-    base_ref = ray.put(dict(zip(offsets["conv_id"], offsets["base"].astype(np.int64))))
+    """Sparse-turn fallback: dense rank within conv, on the repo's
+    hash-boundary sort + whole-partition kernel (windows._hash_sorted)
+    — no per-group dispatch, no pandas batches.  Each sorted partition
+    holds whole conversations; one vectorized pass ranks every conv in
+    the partition and adds ``base[conv] + rank``.  Base lookup is a
+    sorted-array ``searchsorted`` against the offsets table (broadcast
+    once via ``ray.put``), the same shape as the BEIR id map."""
+    from ..pipelines.windows import _hash_sorted
 
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        base = ray.get(base_ref)
-        g = g.sort_values("turn_idx", kind="mergesort").reset_index(drop=True)
-        g["doc_id"] = base[g["conv_id"].iloc[0]] + np.arange(len(g), dtype=np.int64)
-        return g
+    conv_sorted = offsets["conv_id"].to_numpy()  # sorted by conv_offsets
+    base_sorted = offsets["base"].to_numpy().astype(np.int64)
+    lut_ref = ray.put((conv_sorted, base_sorted))
 
-    return ds.groupby("conv_id").map_groups(rank_group, batch_format="pandas")
+    def rank_partition(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl.drop_columns(["hkey"]).append_column(
+                "doc_id", pa.array([], type=pa.int64())
+            )
+        conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+        turn = tbl.column("turn_idx").to_numpy()
+        # re-establish (conv, turn) order locally: exact regardless of
+        # how the distributed sort tie-broke equal hash keys
+        order = np.lexsort((turn, conv))
+        conv_s = conv[order]
+        n = conv_s.size
+        new_conv = np.empty(n, dtype=bool)
+        new_conv[0] = True
+        new_conv[1:] = conv_s[1:] != conv_s[:-1]
+        starts = np.flatnonzero(new_conv)
+        rank = np.arange(n, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, n))
+        )
+        convs, bases = ray.get(lut_ref)
+        pos = np.searchsorted(convs, conv_s[starts])
+        base = np.repeat(bases[pos], np.diff(np.append(starts, n)))
+        doc_id = base + rank
+        out = tbl.take(pa.array(order)).drop_columns(["hkey"])
+        return out.append_column("doc_id", pa.array(doc_id, type=pa.int64()))
+
+    return _hash_sorted(ds, "conv_id", ["turn_idx"]).map_batches(
+        rank_partition, batch_format="pyarrow", batch_size=None
+    )
 
 
 def docmap_table(ds_with_ids: rd.Dataset) -> rd.Dataset:

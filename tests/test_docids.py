@@ -104,3 +104,30 @@ def test_join_strategy_matches_broadcast(ray_session):
     )
     assert list(a["doc_id"]) == list(b["doc_id"])
     assert sorted(a["doc_id"]) == list(range(len(rows)))
+
+
+def test_sparse_turn_fallback_many_convs(ray_session):
+    """Randomized, many-conv exercise of the hash-sorted whole-partition
+    rank kernel: doc_id must equal the global rank under ORDER BY
+    (conv_id, turn_idx) for gappy turn indices."""
+    rng = np.random.RandomState(5)
+    convs, turns = [], []
+    for c in range(137):
+        cid = f"conv{c:04d}"
+        n = rng.randint(1, 12)
+        t = np.sort(rng.choice(np.arange(50), size=n, replace=False))
+        convs += [cid] * n
+        turns += list(t)
+    perm = rng.permutation(len(convs))
+    table = pa.table(
+        {
+            "conv_id": pa.array(np.asarray(convs, dtype=object)[perm]),
+            "turn_idx": pa.array(np.asarray(turns, dtype=np.int64)[perm]),
+        }
+    )
+    ds = rd.from_arrow(table).repartition(11)
+    offsets = conv_offsets(ds)
+    assert not offsets_are_dense(offsets)
+    out = assign_doc_ids(ds, offsets).to_pandas()
+    ref = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert list(ref["doc_id"]) == list(range(len(ref)))

@@ -315,7 +315,22 @@ def q_snippet_topk(sf_dir: str, method: str = "lucene", k: int = 10,
     return snippet_topk(
         idx, _docs_path(sf_dir), DOC_QUERIES, k=k, window=window,
         params=BM25Params(method=method), cfg=SQL_CFG,
+    ).drop_columns(["snippet_raw"])
+
+
+def q_snippet_topk_raw(sf_dir: str, method: str = "lucene", k: int = 10,
+                       window: int = 8):
+    """Raw-text excerpt variant: the same best window, quoted verbatim
+    from the ORIGINAL document text (casing, punctuation, stopwords
+    intact) via kept-token character offsets."""
+    from .pipelines.snippets import snippet_topk
+
+    idx = documents_index(sf_dir)
+    t = snippet_topk(
+        idx, _docs_path(sf_dir), DOC_QUERIES, k=k, window=window,
+        params=BM25Params(method=method), cfg=SQL_CFG,
     )
+    return t.select(["qid", "doc_id", "rank", "snip_start", "snippet_raw"])
 
 
 def q_bool_query_topk(sf_dir: str, method: str = "lucene", k: int = 10):
@@ -1193,6 +1208,94 @@ LEFT JOIN snips sn ON sn.qid = h.qid AND sn.doc_id = h.doc_id
 """
 
 
+def snippet_topk_raw_sql(method: str = "lucene", k: int = 10,
+                         window: int = 8) -> str:
+    """Raw-excerpt snippet oracle: the same ranked-hits + best-window
+    chain as snippet_topk_sql, but the excerpt is substring(text,
+    cstart(s), cend(s+w-1)-cstart(s)+1) over the ORIGINAL text.
+    Kept-token character offsets are reconstructed in SQL from the
+    token/separator decomposition: text = sep1·tok1·sep2·tok2·…, so
+    cstart(pos) = Σ len(sep≤pos) + Σ len(tok<pos) + 1 (two window
+    sums) — mirroring pipelines/snippets.py kept_spans."""
+    qset_rows = []
+    for qid, text in DOC_QUERIES:
+        for term in sorted(set(
+            tokenize_text(text, stopwords=STOPWORDS_EN, stemmer=None)
+        )):
+            qset_rows.append(f"('{qid}', '{term}')")
+    return f"""
+WITH {_bm25_ranked_ctes(method)},
+ptok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w\\w+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '\\w\\w+'), 1) AS pos
+  FROM documents
+),
+psep AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\w\\w+')) AS sep,
+         generate_subscripts(regexp_split_to_array(lower(text), '\\w\\w+'), 1) AS spos
+  FROM documents
+),
+poff AS (
+  SELECT t.doc_id, t.pos, t.term,
+         sum(length(s.sep)) OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                                  ROWS UNBOUNDED PRECEDING)
+         + coalesce(sum(length(t.term)) OVER (PARTITION BY t.doc_id
+                    ORDER BY t.pos ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0)
+         + 1 AS cstart,
+         length(t.term) AS tl
+  FROM ptok t JOIN psep s ON s.doc_id = t.doc_id AND s.spos = t.pos
+),
+pkept AS (
+  SELECT doc_id, term, cstart, cstart + tl - 1 AS cend,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM poff WHERE term NOT IN ({_STOPWORDS_SQL})
+),
+pdl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM pkept GROUP BY doc_id),
+qset(qid, term) AS (VALUES
+    {",".join(qset_rows)}
+),
+hits AS (SELECT qid, doc_id, rank, score FROM ranked WHERE rank <= {k}),
+hw AS (
+  SELECT h.qid, h.doc_id, LEAST({window}, pdl.dl) AS w, pdl.dl
+  FROM hits h JOIN pdl ON pdl.doc_id = h.doc_id
+),
+starts AS (
+  SELECT hw.qid, hw.doc_id, s.rn AS s, hw.w
+  FROM hw JOIN pkept s
+    ON s.doc_id = hw.doc_id AND s.rn <= hw.dl - hw.w + 1
+),
+wc AS (
+  SELECT st.qid, st.doc_id, st.s, st.w, count(q.term)::BIGINT AS c
+  FROM starts st
+  LEFT JOIN pkept m
+    ON m.doc_id = st.doc_id AND m.rn BETWEEN st.s AND st.s + st.w - 1
+  LEFT JOIN qset q ON q.qid = st.qid AND q.term = m.term
+  GROUP BY st.qid, st.doc_id, st.s, st.w
+),
+best AS (
+  SELECT qid, doc_id, s, w, c,
+         row_number() OVER (PARTITION BY qid, doc_id
+                            ORDER BY c DESC, s ASC) AS rnk
+  FROM wc
+),
+snips AS (
+  SELECT b.qid, b.doc_id, b.s,
+         substring(d.text, CAST(f.cstart AS BIGINT), CAST(l.cend - f.cstart + 1 AS BIGINT)) AS snippet_raw
+  FROM best b
+  JOIN documents d ON d.doc_id = b.doc_id
+  JOIN pkept f ON f.doc_id = b.doc_id AND f.rn = b.s
+  JOIN pkept l ON l.doc_id = b.doc_id AND l.rn = b.s + b.w - 1
+  WHERE b.rnk = 1
+)
+SELECT h.qid, h.doc_id, h.rank,
+       coalesce(sn.s, 1)::BIGINT AS snip_start,
+       coalesce(sn.snippet_raw, '') AS snippet_raw
+FROM hits h
+LEFT JOIN snips sn ON sn.qid = h.qid AND sn.doc_id = h.doc_id
+"""
+
+
 def bool_query_sql(method: str = "lucene", k: int = 10) -> str:
     """Boolean-triad oracle over BOOL_QUERIES: eligibility = (all must
     terms present — strict, OOV never satisfiable; or every doc when
@@ -1743,6 +1846,7 @@ ORACLE_SQL: dict[str, str] = {
     "bool_query_topk": bool_query_sql("lucene"),
     # best-window snippet per hit, earliest-start ties
     "snippet_topk": snippet_topk_sql("lucene"),
+    "snippet_topk_raw": snippet_topk_raw_sql("lucene"),
     "dedup_exact": DEDUP_EXACT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "embed_cosine_topk": EMBED_TOPK_SQL,
@@ -1808,6 +1912,7 @@ def build_queries() -> dict:
     q["bool_and_topk"] = q_bool_and_topk
     q["bool_query_topk"] = q_bool_query_topk
     q["snippet_topk"] = q_snippet_topk
+    q["snippet_topk_raw"] = q_snippet_topk_raw
     q.update(
         {
             "dedup_exact": q_dedup_exact,

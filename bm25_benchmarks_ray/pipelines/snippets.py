@@ -15,10 +15,19 @@ Contract (mirrored exactly by driver_api.snippet_topk_sql):
   the query's DISTINCT tokenized terms (occurrences count, not
   distinct terms — "beta beta" in-window scores 2);
 * ties break to the EARLIEST window start;
-* the snippet is the window's kept tokens joined by one space —
-  a normalized excerpt, deliberately reconstructable by the SQL
-  oracle (raw-text offsets would need per-token byte spans, an
-  index-format change the two-phase design avoids).
+* ``snippet`` is the window's kept SURFACE tokens (lowercased,
+  unstemmed — under a stemmed analyzer membership still tests the
+  stemmed forms, but the excerpt shows the words the document used)
+  joined by one space — a normalized excerpt reconstructable by the
+  SQL oracle;
+* ``snippet_raw`` quotes the ORIGINAL text verbatim: the substring
+  from the first window token's character offset to the last window
+  token's end — original casing, punctuation and stopwords intact.
+  Offsets come from re-running the token regex positionally over the
+  hit doc's text at snippet time (hits are Q×k docs, so this is
+  bounded work and needs no index-format change); when lowercasing
+  changes the string's length (rare Unicode), the excerpt quotes the
+  lowercased text so offsets stay exact.
 
 Shape: ranking comes first (``search`` — unchanged), so snippets are
 needed for exactly Q×k docs.  One streaming pass over the corpus
@@ -43,6 +52,7 @@ import ray.data as rd
 from ..config import IndexConfig
 from ..functions.bm25 import BM25Params
 from ..functions.tokenizer import (
+    TOKEN_RE,
     dict_token_stream,
     resolve_stemmer,
     resolve_stopwords,
@@ -80,9 +90,10 @@ def snippet_topk(
     text_col: str = "text",
 ) -> pa.Table:
     """BM25 top-k plus the best-window snippet per hit:
-    (qid, doc_id, rank, score, snip_start, snip_score, snippet).
-    ``snip_start`` is the 1-based kept-stream position of the window
-    (the SQL oracle's row_number space)."""
+    (qid, doc_id, rank, score, snip_start, snip_score, snippet,
+    snippet_raw).  ``snip_start`` is the 1-based kept-stream position
+    of the window (the SQL oracle's row_number space); ``snippet_raw``
+    quotes the original text verbatim (see module doc)."""
     if window < 1:
         raise ValueError("window must be >= 1")
     params = params or BM25Params()
@@ -109,6 +120,7 @@ def snippet_topk(
         "snip_start": pa.array([], type=pa.int64()),
         "snip_score": pa.array([], type=pa.int64()),
         "snippet": pa.array([], type=pa.string()),
+        "snippet_raw": pa.array([], type=pa.string()),
     }
     if res.empty:
         return pa.table(empty_cols)
@@ -137,7 +149,8 @@ def snippet_topk(
              "doc_id": pa.array([], type=pa.int64()),
              "snip_start": pa.array([], type=pa.int64()),
              "snip_score": pa.array([], type=pa.int64()),
-             "snippet": pa.array([], type=pa.string())}
+             "snippet": pa.array([], type=pa.string()),
+             "snippet_raw": pa.array([], type=pa.string())}
         )
         d = batch.column(id_col)
         m = pc.and_(pc.greater_equal(d, span_lo), pc.less(d, span_hi))
@@ -153,6 +166,7 @@ def snippet_topk(
         if sel.size == 0:
             return empty
         sel_ids = ids[sel]
+        sel_texts = batch.column(text_col).take(pa.array(sel)).to_pylist()
         codes, uniq, doc_of, _ = dict_token_stream(
             batch.column(text_col).take(pa.array(sel))
         )
@@ -166,8 +180,30 @@ def snippet_topk(
         ends_of = np.searchsorted(doc_of, np.arange(sel.size), side="right")
         out: dict[str, list] = {
             "qid": [], "doc_id": [], "snip_start": [], "snip_score": [],
-            "snippet": [],
+            "snippet": [], "snippet_raw": [],
         }
+
+        # kept-token character spans in the ORIGINAL text, computed
+        # lazily once per hit doc (Q x k docs corpus-wide): positional
+        # re-run of TOKEN_RE over the lowered text; offsets apply to
+        # the original verbatim whenever lowercasing is length-stable
+        span_cache: dict[int, tuple[list[int], list[int], str]] = {}
+
+        def kept_spans(p: int) -> tuple[list[int], list[int], str]:
+            v = span_cache.get(p)
+            if v is None:
+                txt = sel_texts[p]
+                low = txt.lower()
+                st: list[int] = []
+                en: list[int] = []
+                for mt in TOKEN_RE.finditer(low):
+                    if stopwords and mt.group() in stopwords:
+                        continue
+                    st.append(mt.start())
+                    en.append(mt.end())
+                src = txt if len(low) == len(txt) else low
+                v = span_cache[p] = (st, en, src)
+            return v
         # per distinct qid present among this batch's hits: one
         # membership vector over the batch dictionary, then per-doc
         # window argmax (docs per batch × hits per doc is small — the
@@ -195,6 +231,7 @@ def snippet_topk(
                 out["snip_start"].append(1)
                 out["snip_score"].append(0)
                 out["snippet"].append("")
+                out["snippet_raw"].append("")
                 continue
             w = min(window, toks.size)
             s, sc = _best_window(mem[toks].astype(np.int64), w)
@@ -202,13 +239,21 @@ def snippet_topk(
             out["doc_id"].append(int(hdoc))
             out["snip_start"].append(s + 1)  # 1-based (SQL row_number)
             out["snip_score"].append(sc)
-            out["snippet"].append(" ".join(names[t] for t in toks[s: s + w]))
+            # display = kept SURFACE tokens (unstemmed); membership
+            # above used the stemmed names
+            out["snippet"].append(" ".join(uniq[t] for t in toks[s: s + w]))
+            st_, en_, src_ = kept_spans(p)
+            if s < len(st_) and s + w - 1 < len(en_):
+                out["snippet_raw"].append(src_[st_[s]: en_[s + w - 1]])
+            else:  # span/stream divergence guard: fall back to normalized
+                out["snippet_raw"].append(out["snippet"][-1])
         return pa.table(
             {"qid": pa.array(out["qid"], type=pa.string()),
              "doc_id": pa.array(out["doc_id"], type=pa.int64()),
              "snip_start": pa.array(out["snip_start"], type=pa.int64()),
              "snip_score": pa.array(out["snip_score"], type=pa.int64()),
-             "snippet": pa.array(out["snippet"], type=pa.string())}
+             "snippet": pa.array(out["snippet"], type=pa.string()),
+             "snippet_raw": pa.array(out["snippet_raw"], type=pa.string())}
         )
 
     ds = rd.read_parquet(docs_path, columns=[id_col, text_col])
@@ -221,12 +266,13 @@ def snippet_topk(
         pa.concat_tables(parts).to_pandas()
         if parts
         else pd.DataFrame(columns=["qid", "doc_id", "snip_start",
-                                   "snip_score", "snippet"])
+                                   "snip_score", "snippet", "snippet_raw"])
     )
     merged = res.merge(snips, on=["qid", "doc_id"], how="left")
     merged["snip_start"] = merged["snip_start"].fillna(1).astype(np.int64)
     merged["snip_score"] = merged["snip_score"].fillna(0).astype(np.int64)
     merged["snippet"] = merged["snippet"].fillna("")
+    merged["snippet_raw"] = merged["snippet_raw"].fillna("")
     merged = merged.sort_values(["qid", "rank"])
     return pa.table(
         {"qid": pa.array(merged["qid"], type=pa.string()),
@@ -235,5 +281,6 @@ def snippet_topk(
          "score": pa.array(merged["score"], type=pa.float64()),
          "snip_start": pa.array(merged["snip_start"], type=pa.int64()),
          "snip_score": pa.array(merged["snip_score"], type=pa.int64()),
-         "snippet": pa.array(merged["snippet"], type=pa.string())}
+         "snippet": pa.array(merged["snippet"], type=pa.string()),
+         "snippet_raw": pa.array(merged["snippet_raw"], type=pa.string())}
     )

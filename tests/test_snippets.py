@@ -129,3 +129,100 @@ def test_snippet_window_validation(scorpus):
     idx, p, _ = scorpus
     with pytest.raises(ValueError):
         snippet_topk(idx, p, [("q", "alpha")], window=0)
+
+
+@pytest.fixture(scope="module")
+def rawcorpus(ray_session, tmp_path_factory):
+    """Docs with casing, punctuation and stopwords — raw excerpts must
+    quote them verbatim."""
+    texts = [
+        "The Alpha-protocol, and its Beta variant, shipped in Gamma!",
+        "  alpha...   BETA??  gamma   delta  ",
+        "Alpha the beta THE gamma of delta AND epsilon zeta",
+    ] + [f"Filler{i:03d}, words only here." for i in range(20)]
+    d = tmp_path_factory.mktemp("rawcorpus")
+    p = os.path.join(d, "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                  "text": pa.array(texts, type=pa.string())}), p)
+    idx = str(tmp_path_factory.mktemp("rawidx") / "index")
+    build_index(p, idx, IndexConfig(stopwords="en", stemmer="none"),
+                mode="documents", n_groups=2)
+    return idx, p, texts
+
+
+def _py_raw_excerpt(text: str, s0: int, w: int) -> str:
+    """Reference: substring of the ORIGINAL text from the s0-th kept
+    token's char start to the (s0+w-1)-th kept token's char end."""
+    low = text.lower()
+    spans = [(m.start(), m.end()) for m in TOKEN_RE.finditer(low)
+             if m.group() not in STOPWORDS_EN]
+    src = text if len(low) == len(text) else low
+    return src[spans[s0][0]: spans[s0 + w - 1][1]]
+
+
+def test_snippet_raw_quotes_original_text(rawcorpus):
+    idx, p, texts = rawcorpus
+    got = snippet_topk(idx, p, [("q", "alpha beta")], k=5,
+                       window=3).to_pandas()
+    assert len(got) > 0
+    for _, row in got.iterrows():
+        txt = texts[int(row["doc_id"])]
+        ks = _kept(txt)
+        if not ks:
+            assert row["snippet_raw"] == ""
+            continue
+        w = min(3, len(ks))
+        s0 = int(row["snip_start"]) - 1
+        assert row["snippet_raw"] == _py_raw_excerpt(txt, s0, w), (
+            row["doc_id"], row["snippet_raw"])
+    # spot-check verbatim casing/punctuation survives: doc 0's window
+    # starting at 'alpha' spans "Alpha-protocol, and its Beta variant,
+    # shipped in Gamma"
+    r0 = got[got["doc_id"] == 0]
+    if len(r0):
+        assert "Alpha" in r0.iloc[0]["snippet_raw"] or "Beta" in r0.iloc[0]["snippet_raw"]
+
+
+@pytest.fixture(scope="module")
+def stemcorpus(ray_session, tmp_path_factory):
+    texts = [
+        "running runner runs quickly jumping jumper jumps",
+        "the runner was running while jumping over fences",
+    ] + [f"filler{i:03d} words only here" for i in range(10)]
+    d = tmp_path_factory.mktemp("stemcorpus")
+    p = os.path.join(d, "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                  "text": pa.array(texts, type=pa.string())}), p)
+    idx = str(tmp_path_factory.mktemp("stemidx") / "index")
+    build_index(p, idx, IndexConfig(stopwords="en", stemmer="porter2"),
+                mode="documents", n_groups=1)
+    return idx, p, texts
+
+
+def test_snippet_stemmed_shows_surface_tokens(stemcorpus):
+    """Under a stemmed analyzer, membership tests stems ('running'
+    matches query 'run*' family) but the displayed snippet shows the
+    document's SURFACE tokens, not stems."""
+    idx, p, texts = stemcorpus
+    got = snippet_topk(idx, p, [("q", "running")], k=3,
+                       window=4).to_pandas()
+    assert len(got) > 0
+    top = got.iloc[0]
+    # every display token is one of the document's own words
+    # (lowercased surface forms), never a stem absent from the doc
+    doc_words = set(
+        re.findall(r"(?u)\b\w\w+\b", texts[int(top["doc_id"])].lower())
+    )
+    for tok in top["snippet"].split():
+        assert tok in doc_words, (tok, doc_words)
+    # crucially: NOT the stemmed forms — doc 0 contains 'running'
+    # 'runner' 'jumping' etc., whose stems are 'run'/'runner'/'jump'
+    d0 = got[got["doc_id"] == 0]
+    if len(d0):
+        snip = d0.iloc[0]["snippet"]
+        assert "running" in snip or "jumping" in snip or "runner" in snip, snip
+    # membership still counts via stems: 'running' query hits docs with
+    # 'runs'/'runner' forms too
+    assert int(top["snip_score"]) >= 1

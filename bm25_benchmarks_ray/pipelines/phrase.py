@@ -119,15 +119,22 @@ def _cfg_from_manifest(man: Manifest, cfg: IndexConfig | None) -> IndexConfig:
     })
 
 
-def _postings_bitmap(
+def _postings_bitmaps(
     index_dir: str,
-    terms: list[str] | set[str],
+    specs: list[tuple[str, list[str] | set[str], str]],
     man: Manifest | None = None,
-    op: str = "and",
-) -> np.ndarray:
-    """Packed uint8 bitmap (docfilter layout) over the index's posting
-    lists: docs containing ALL ``terms`` (op="and", rarest-df-first
-    sorted intersection) or ANY of them (op="or", running merge).
+) -> dict[str, np.ndarray]:
+    """Packed uint8 bitmaps (docfilter layout) over the index's posting
+    lists, for MANY specs in ONE distributed scan.  Each spec is
+    (key, terms, op): docs containing ALL terms (op="and",
+    rarest-df-first sorted intersection) or ANY (op="or", running
+    merge).  Returns {key: bitmap}.
+
+    Batching is the point (a Q-query phrase/boolean batch costs one
+    scheduling round-trip and ONE vocab + segment read per group, not
+    Q): every task reads the UNION of all specs' terms once, decodes
+    each term once into its sorted doc array, then evaluates every
+    spec against the shared decode cache.
 
     op="and": any term absent from the vocab ⇒ all-zeros (strict
     conjunction).  op="or": absent terms simply contribute nothing."""
@@ -136,59 +143,95 @@ def _postings_bitmap(
         raise ValueError(f"no complete index at {index_dir}")
     num_docs = int(man.stats["num_docs"])
     block_size = int(man.config.get("block_size", 128))
-    out = np.zeros(bitmap_nbytes(num_docs), dtype=np.uint8)
-    terms = sorted(set(terms))
-    if not terms:
+    out: dict[str, np.ndarray] = {
+        key: np.zeros(bitmap_nbytes(num_docs), dtype=np.uint8)
+        for key, _, _ in specs
+    }
+    union_terms = sorted({t for _, terms, _ in specs for t in terms})
+    if not union_terms:
         raise ValueError("postings bitmap needs at least one term")
     v = pads.dataset(os.path.join(index_dir, VOCAB_DIR)).to_table(
-        columns=["term", "df"], filter=pc.field("term").isin(terms)
+        columns=["term", "df"], filter=pc.field("term").isin(union_terms)
     )
     df_map = dict(zip(v.column("term").to_pylist(), v.column("df").to_pylist()))
-    if op == "and" and len(df_map) < len(terms):
-        return out  # an OOV term can match no doc
-    use = sorted(df_map, key=df_map.get) if op == "and" else sorted(df_map)
-    if not use:
+    # per-spec evaluation order (AND: rarest df first for early empty)
+    plans: list[tuple[str, list[str], bool]] = []
+    scan_terms: set[str] = set()
+    for key, terms, op in specs:
+        terms = sorted(set(terms))
+        conj = op == "and"
+        if conj and any(t not in df_map for t in terms):
+            continue  # an OOV term can match no doc: stays all-zeros
+        use = [t for t in terms if t in df_map]
+        if not use:
+            continue
+        if conj:
+            use.sort(key=df_map.get)
+        plans.append((key, use, conj))
+        scan_terms.update(use)
+    if not plans:
         return out
-
-    conj = op == "and"
+    use_all = sorted(scan_terms)
 
     def scan(batch: pa.Table) -> pa.Table:
         from ..stages.segments import decode_segment, segment_rows_by_term
 
+        key_out: list[str] = []
         lo_out: list[int] = []
         buf_out: list[bytes] = []
         for gd in batch.column("group_dir").to_pylist():
-            seg = pads.dataset(gd).to_table(filter=pc.field("term").isin(use))
+            seg = pads.dataset(gd).to_table(
+                filter=pc.field("term").isin(use_all)
+            )
             rbt = segment_rows_by_term(seg)
-            cur: np.ndarray | None = None
-            for t in use:
-                rows = rbt.get(t)
-                if not rows:
-                    if conj:
-                        cur = None
-                        break
+            dec: dict[str, np.ndarray] = {}
+
+            def docs_of(t: str) -> np.ndarray | None:
+                d = dec.get(t)
+                if d is None:
+                    rows = rbt.get(t)
+                    if not rows:
+                        return None
+                    # multi-part rows (term split across sort
+                    # partitions) arrive sorted by first doc, so
+                    # concat stays ascending
+                    parts = [decode_segment(r, block_size)[0] for r in rows]
+                    d = parts[0] if len(parts) == 1 else np.concatenate(parts)
+                    dec[t] = d
+                return d
+
+            for key, use, conj in plans:
+                cur: np.ndarray | None = None
+                for t in use:
+                    d = docs_of(t)
+                    if d is None:
+                        if conj:
+                            cur = None
+                            break
+                        continue
+                    if cur is None:
+                        cur = d
+                    elif conj:
+                        cur = _intersect_sorted(cur, d)
+                        if cur.size == 0:
+                            break
+                    else:
+                        cur = np.union1d(cur, d)
+                if cur is None or cur.size == 0:
                     continue
-                # multi-part rows (term split across sort partitions)
-                # arrive sorted by first doc, so concat stays ascending
-                parts = [decode_segment(r, block_size)[0] for r in rows]
-                d = parts[0] if len(parts) == 1 else np.concatenate(parts)
-                if cur is None:
-                    cur = d
-                elif conj:
-                    cur = _intersect_sorted(cur, d)
-                    if cur.size == 0:
-                        break
-                else:
-                    cur = np.union1d(cur, d)
-            if cur is None or cur.size == 0:
-                continue
-            b_lo = int(cur[0]) >> 3
-            bits = np.zeros(((int(cur[-1]) >> 3) + 1 - b_lo) << 3, dtype=np.uint8)
-            bits[cur - (b_lo << 3)] = 1
-            lo_out.append(b_lo)
-            buf_out.append(np.packbits(bits, bitorder="little").tobytes())
+                b_lo = int(cur[0]) >> 3
+                bits = np.zeros(
+                    ((int(cur[-1]) >> 3) + 1 - b_lo) << 3, dtype=np.uint8
+                )
+                bits[cur - (b_lo << 3)] = 1
+                key_out.append(key)
+                lo_out.append(b_lo)
+                buf_out.append(
+                    np.packbits(bits, bitorder="little").tobytes()
+                )
         return pa.table(
-            {"byte_lo": pa.array(lo_out, type=pa.int64()),
+            {"key": pa.array(key_out, type=pa.string()),
+             "byte_lo": pa.array(lo_out, type=pa.int64()),
              "buf": pa.array(buf_out, type=pa.binary())}
         )
 
@@ -201,11 +244,22 @@ def _postings_bitmap(
     )
     # groups own disjoint doc ranges, so chunk ORs commute
     for b in chunks.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for lo_, buf in zip(b.column("byte_lo").to_pylist(),
-                            b.column("buf").to_pylist()):
+        for key_, lo_, buf in zip(b.column("key").to_pylist(),
+                                  b.column("byte_lo").to_pylist(),
+                                  b.column("buf").to_pylist()):
             chunk = np.frombuffer(buf, dtype=np.uint8)
-            out[lo_: lo_ + chunk.size] |= chunk
+            out[key_][lo_: lo_ + chunk.size] |= chunk
     return out
+
+
+def _postings_bitmap(
+    index_dir: str,
+    terms: list[str] | set[str],
+    man: Manifest | None = None,
+    op: str = "and",
+) -> np.ndarray:
+    """Single-spec convenience wrapper over :func:`_postings_bitmaps`."""
+    return _postings_bitmaps(index_dir, [("q", terms, op)], man=man)["q"]
 
 
 def candidate_bitmap(
@@ -373,14 +427,22 @@ def phrase_topk(
     stopwords = resolve_stopwords(cfg.stopwords)
     stemmer = resolve_stemmer(cfg.stemmer)
 
-    phrases: list[tuple[str, list[str]]] = []
-    union = np.zeros(bitmap_nbytes(num_docs), dtype=np.uint8)
+    toks_of: dict[str, list[str]] = {}
+    specs: list[tuple[str, list[str], str]] = []
     for qid, text in queries:
         toks = tokenize_text(text, stopwords=stopwords, stemmer=stemmer)
         if not toks:
             continue
-        bm = candidate_bitmap(index_dir, toks, man=man)
-        if not bm.any():
+        toks_of[qid] = toks
+        specs.append((qid, toks, "and"))
+    # phase 1, ALL queries in ONE distributed scan (each group's vocab
+    # + segments read once; shared per-term decode across queries)
+    bms = _postings_bitmaps(index_dir, specs, man=man) if specs else {}
+    phrases: list[tuple[str, list[str]]] = []
+    union = np.zeros(bitmap_nbytes(num_docs), dtype=np.uint8)
+    for qid, toks in toks_of.items():
+        bm = bms.get(qid)
+        if bm is None or not bm.any():
             continue
         phrases.append((qid, toks))
         union |= bm
@@ -398,7 +460,14 @@ def phrase_topk(
     # the candidates' doc-id range via the byte envelope of set bits)
     nz = np.flatnonzero(union)
     span_lo, span_hi = int(nz[0]) << 3, (int(nz[-1]) + 1) << 3
-    ds = rd.read_parquet(docs_path, columns=[id_col, text_col])
+    # real row-group pruning: the doc-id span predicate is pushed into
+    # the parquet fragments (statistics skip whole row groups outside
+    # the candidates' range); the in-task span filter below stays as
+    # the exactness guard for writers without row-group stats
+    ds = rd.read_parquet(
+        docs_path, columns=[id_col, text_col],
+        filter=(pc.field(id_col) >= span_lo) & (pc.field(id_col) < span_hi),
+    )
     counter = _make_phrase_counter(
         ray.put(union), phrases, stopwords, stemmer, id_col, text_col, gap
     )
@@ -489,13 +558,20 @@ def bool_and_topk(
     stopwords = resolve_stopwords(cfg.stopwords)
     stemmer = resolve_stemmer(cfg.stemmer)
 
-    frames: list[pd.DataFrame] = []
+    q_terms: dict[str, set[str]] = {}
     for qid, text in queries:
         terms = set(tokenize_text(text, stopwords=stopwords, stemmer=stemmer))
-        if not terms:
-            continue
-        bm = candidate_bitmap(index_dir, terms, man=man)
-        if not bm.any():
+        if terms:
+            q_terms[qid] = terms
+    # all intersections in one distributed scan (ADVICE: Q queries no
+    # longer pay Q scheduling round-trips / segment re-reads)
+    bms = _postings_bitmaps(
+        index_dir, [(q, t, "and") for q, t in q_terms.items()], man=man
+    ) if q_terms else {}
+    frames: list[pd.DataFrame] = []
+    for qid, text in queries:
+        bm = bms.get(qid)
+        if bm is None or not bm.any():
             continue
         res = search(
             index_dir, [(qid, text)], params=params, k=k, cfg=cfg,
@@ -557,22 +633,32 @@ def bool_query_topk(
     def toks(text: str) -> list[str]:
         return tokenize_text(text, stopwords=stopwords, stemmer=stemmer)
 
+    # one batched scan for every query's must-AND and must_not-OR
+    # bitmaps (shared per-term decodes across the whole spec set)
+    scan_specs: list[tuple[str, list[str], str]] = []
+    m_of: dict[str, list[str]] = {}
+    n_of: dict[str, list[str]] = {}
+    for qid, must, _should, must_not in specs:
+        m_of[qid] = toks(must)
+        n_of[qid] = toks(must_not)
+        if m_of[qid]:
+            scan_specs.append((f"m:{qid}", m_of[qid], "and"))
+        if n_of[qid]:
+            scan_specs.append((f"n:{qid}", n_of[qid], "or"))
+    bms = _postings_bitmaps(index_dir, scan_specs, man=man) if scan_specs else {}
+
     frames: list[pd.DataFrame] = []
     for qid, must, should, must_not in specs:
-        m = toks(must)
-        if m:
-            bm = _postings_bitmap(index_dir, m, man=man, op="and")
+        if m_of[qid]:
+            bm = bms[f"m:{qid}"]
             if not bm.any():
                 continue
         else:
             bm = invert_bitmap(
                 np.zeros(bitmap_nbytes(num_docs), dtype=np.uint8), num_docs
             )
-        n = toks(must_not)
-        if n:
-            bm = bm & invert_bitmap(
-                _postings_bitmap(index_dir, n, man=man, op="or"), num_docs
-            )
+        if n_of[qid]:
+            bm = bm & invert_bitmap(bms[f"n:{qid}"], num_docs)
             if not bm.any():
                 continue
         score_text = (must + " " + should).strip()

@@ -256,7 +256,12 @@ def snippet_topk(
              "snippet_raw": pa.array(out["snippet_raw"], type=pa.string())}
         )
 
-    ds = rd.read_parquet(docs_path, columns=[id_col, text_col])
+    # hit-doc span predicate pushed into the parquet fragments for
+    # real row-group pruning; the in-task filter stays as the guard
+    ds = rd.read_parquet(
+        docs_path, columns=[id_col, text_col],
+        filter=(pc.field(id_col) >= span_lo) & (pc.field(id_col) < span_hi),
+    )
     parts = list(
         ds.map_batches(snip, batch_format="pyarrow").iter_batches(
             batch_size=None, batch_format="pyarrow"

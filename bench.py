@@ -354,12 +354,88 @@ def run_ext_bench(docs_sf: float = 1.0, n_events: int = 10_000_000) -> dict:
     qs = [("p0", f"{vocab[0]} {vocab[1]}"),
           ("p1", f"{vocab[2]} {vocab[0]} {vocab[1]}")]
     t0 = time.perf_counter()
-    res = phrase_topk(pidx, dpath, qs, k=10)
+    res = phrase_topk(pidx, dpath, qs, k=10, positions="off")
     out["phrase_topk_s"] = round(time.perf_counter() - t0, 3)
     out["phrase_topk_rows"] = res.num_rows
     t0 = time.perf_counter()
-    phrase_topk(pidx, dpath, qs, k=10, gap=3)
+    phrase_topk(pidx, dpath, qs, k=10, gap=3, positions="off")
     out["near_topk_s"] = round(time.perf_counter() - t0, 3)
+
+    # positions path A/B (round-5): one-time sidecar build (cached
+    # across runs), then the same worst-case hot-term batches resolved
+    # index-only — no corpus text read
+    from bm25_benchmarks_ray.pipelines.positions import (
+        build_positions,
+        has_positions,
+    )
+
+    t0 = time.perf_counter()
+    build_positions(pidx, dpath)
+    if not has_positions(pidx):
+        raise RuntimeError("positions build incomplete")
+    out["positions_build_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    res_p = phrase_topk(pidx, dpath, qs, k=10, positions="force")
+    out["phrase_topk_pos_s"] = round(time.perf_counter() - t0, 3)
+    assert res_p.num_rows == res.num_rows
+    t0 = time.perf_counter()
+    phrase_topk(pidx, dpath, qs, k=10, gap=3, positions="force")
+    out["near_topk_pos_s"] = round(time.perf_counter() - t0, 3)
+
+    # round-4 retrieval extensions, one row each (VERDICT r4 #8):
+    # filtered search, boolean triad, RRF fusion, snippets — fixed
+    # 16-query batches over the same documents corpus/index
+    import pyarrow.compute as _pc
+
+    from bm25_benchmarks_ray.functions.bm25 import BM25Params
+    from bm25_benchmarks_ray.pipelines.docfilter import allowed_shards
+    from bm25_benchmarks_ray.pipelines.fusion import rrf_fuse
+    from bm25_benchmarks_ray.pipelines.phrase import bool_query_topk
+    from bm25_benchmarks_ray.pipelines.query import search as _search
+    from bm25_benchmarks_ray.pipelines.snippets import snippet_topk
+    from bm25_benchmarks_ray.state.manifest import Manifest as _Man
+
+    rng = np.random.RandomState(7)
+    qtexts = [
+        (f"x{i:02d}", " ".join(rng.choice(vocab, size=3)))
+        for i in range(16)
+    ]
+    man = _Man.load(pidx)
+    ranges = [
+        (int(e["doc_lo"]), int(e["doc_hi"]))
+        for g in man.done_groups() for e in [man.groups[str(g)]]
+    ]
+    nd = int(man.stats["num_docs"])
+    t0 = time.perf_counter()
+    ids = rd.read_parquet(dpath, columns=["doc_id"]).map_batches(
+        lambda b: b.filter(
+            _pc.equal(_pc.bit_wise_and(b.column("doc_id"), 7), 3)),
+        batch_format="pyarrow",
+    )
+    sh = allowed_shards(ids, nd, ranges)
+    _search(pidx, qtexts, k=10, allowed=sh, join_back=False).count()
+    out["filtered_qps"] = round(len(qtexts) / (time.perf_counter() - t0), 1)
+
+    t0 = time.perf_counter()
+    bool_query_topk(
+        pidx,
+        [(q, t_, "", vocab[3]) for q, t_ in qtexts[:8]],
+        k=10,
+    )
+    out["boolq_qps"] = round(8 / (time.perf_counter() - t0), 1)
+
+    t0 = time.perf_counter()
+    a = _search(pidx, qtexts, params=BM25Params(method="lucene"), k=20,
+                join_back=False)
+    b = _search(pidx, qtexts, params=BM25Params(method="atire"), k=20,
+                join_back=False)
+    rrf_fuse([a, b], k=10).count()
+    out["rrf_qps"] = round(len(qtexts) / (time.perf_counter() - t0), 1)
+
+    t0 = time.perf_counter()
+    snippet_topk(pidx, dpath, qtexts, k=10, window=8)
+    out["snippet_qps"] = round(len(qtexts) / (time.perf_counter() - t0), 1)
+
     out["ext_docs_sf"] = docs_sf
     out["ext_n_docs"] = n_docs
     out["ext_n_events"] = n_events

@@ -214,6 +214,7 @@ def cmd_phrase(args) -> int:
     res = phrase_topk(
         args.index, args.docs, _read_queries(args.queries),
         k=args.top_k, params=params, gap=args.gap,
+        positions=args.positions,
     ).to_pandas()
     res = _maybe_ext_ids(res, args.index)
     if args.output:
@@ -221,6 +222,18 @@ def cmd_phrase(args) -> int:
         print(f"wrote {len(res)} rows to {args.output}")
     else:
         res.to_csv(sys.stdout, sep="\t", index=False)
+    return 0
+
+
+def cmd_positions(args) -> int:
+    """Build the positional postings sidecar (pipelines/positions.py)
+    for a complete index — opt-in, resumable per group; afterwards
+    `phrase` resolves occurrences index-only."""
+    from .pipelines.positions import build_positions
+
+    _init_ray(args.num_cpus, args.address)
+    root = build_positions(args.index, args.input)
+    print(f"positions sidecar complete at {root}")
     return 0
 
 
@@ -460,9 +473,20 @@ def main(argv=None) -> int:
     p.add_argument("--queries", required=True, help="TSV: qid\\tphrase")
     p.add_argument("--gap", type=int, default=1,
                    help="1 = exact phrase; n > 1 = ordered NEAR/n")
+    p.add_argument("--positions", choices=["auto", "force", "off"],
+                   default="auto",
+                   help="resolve occurrences from the positional "
+                        "sidecar when present (auto), require it "
+                        "(force), or always re-tokenize (off)")
     p.add_argument("--output", default=None)
     _bm25_args(p)
     p.set_defaults(fn=cmd_phrase)
+
+    p = sub.add_parser("positions")
+    p.add_argument("--index", required=True)
+    p.add_argument("--input", required=True,
+                   help="documents parquet with explicit doc ids")
+    p.set_defaults(fn=cmd_positions)
 
     p = sub.add_parser("boolq")
     p.add_argument("--index", required=True)

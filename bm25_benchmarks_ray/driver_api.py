@@ -293,6 +293,45 @@ def q_near_topk(sf_dir: str, method: str = "lucene", k: int = 10,
     )
 
 
+def documents_positions(sf_dir: str) -> str:
+    """Index + positional sidecar (pipelines/positions.py), both cached
+    under /tmp; build_positions is an idempotent per-group resume."""
+    from .pipelines.positions import build_positions
+
+    idx = documents_index(sf_dir)
+    build_positions(idx, _docs_path(sf_dir))
+    return idx
+
+
+def q_phrase_topk_pos(sf_dir: str, method: str = "lucene", k: int = 10):
+    """Exact phrase via the POSITIONAL sidecar (Lucene .pos analogue,
+    reference on_pyserini.py --storePositions): occurrences resolved
+    from per-(term, doc) delta+varint kept-stream positions — no
+    corpus text read.  Same SQL oracle as phrase_topk: both paths are
+    contract-identical."""
+    from .pipelines.phrase import phrase_topk
+
+    idx = documents_positions(sf_dir)
+    return phrase_topk(
+        idx, _docs_path(sf_dir), PHRASE_QUERIES, k=k,
+        params=BM25Params(method=method), cfg=SQL_CFG, positions="force",
+    )
+
+
+def q_near_topk_pos(sf_dir: str, method: str = "lucene", k: int = 10,
+                    gap: int = 3):
+    """NEAR/3 via the positional sidecar — the backward chain-DP runs
+    on (doc, kept_pos) keys instead of re-tokenized streams."""
+    from .pipelines.phrase import phrase_topk
+
+    idx = documents_positions(sf_dir)
+    return phrase_topk(
+        idx, _docs_path(sf_dir), PHRASE_QUERIES, k=k,
+        params=BM25Params(method=method), cfg=SQL_CFG, gap=gap,
+        positions="force",
+    )
+
+
 def q_bool_and_topk(sf_dir: str, method: str = "lucene", k: int = 10):
     """Conjunctive (AND) retrieval: posting-list intersection builds
     the allowed bitmap, then the filtered-search machinery ranks only
@@ -1840,6 +1879,8 @@ ORACLE_SQL: dict[str, str] = {
     "phrase_topk": phrase_topk_sql("lucene"),
     # ordered proximity (NEAR/3): windowed joins, DISTINCT chain starts
     "near_topk": phrase_topk_sql("lucene", gap=3),
+    "phrase_topk_pos": phrase_topk_sql("lucene"),
+    "near_topk_pos": phrase_topk_sql("lucene", gap=3),
     # conjunctive AND: ranked set = docs with every query term
     "bool_and_topk": bm25_topk_sql("lucene", conjunctive=True),
     # full boolean triad: MUST eligibility minus MUST_NOT exclusion
@@ -1909,6 +1950,8 @@ def build_queries() -> dict:
     q["hybrid_rrf_topk"] = q_hybrid_rrf
     q["phrase_topk"] = q_phrase_topk
     q["near_topk"] = q_near_topk
+    q["phrase_topk_pos"] = q_phrase_topk_pos
+    q["near_topk_pos"] = q_near_topk_pos
     q["bool_and_topk"] = q_bool_and_topk
     q["bool_query_topk"] = q_bool_query_topk
     q["snippet_topk"] = q_snippet_topk

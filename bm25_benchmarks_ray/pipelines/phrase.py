@@ -57,11 +57,17 @@ Scale: phase-1 cost is bounded by the phrase terms' posting lists;
 phase-2 cost is proportional to the CANDIDATE set (bounded by the
 rarest term's df), streamed with row-group pruning.  The candidate
 counts table is (qid, doc_id, ptf, dl) — materialized once for the
-df aggregate, candidate-scale, never corpus-scale.  A positional
-postings stream (positions delta+varint per (term, doc)) is the
-classic upgrade once phrase load is hot enough to amortize its ~2×
-index growth; this two-phase form is the standard positions-free
-fallback and needs no index-format change.  The bitmap itself has the
+df aggregate, candidate-scale, never corpus-scale.
+
+**Positions path** (round 5): when the index carries the positional
+sidecar (pipelines/positions.py — Lucene's separate ``.pos`` file;
+reference analogue ``on_pyserini.py --storePositions``), phases 1+2
+fuse into one term-pruned sidecar scan per group: occurrences resolve
+from per-(term, doc) delta+varint kept-stream positions with NO
+corpus text read (``_positions_counts``).  Opt-in via
+``build_positions`` / ``positions="auto"|"force"``; the two-phase
+re-tokenize above remains the positions-free fallback, and both paths
+are contract-identical (tested).  The bitmap itself has the
 10^12-doc sharding story documented in pipelines/docfilter.py.
 """
 
@@ -396,6 +402,128 @@ def _make_phrase_counter(
     return count
 
 
+_EMPTY_COUNTS = pa.table(
+    {"qid": pa.array([], type=pa.string()),
+     "doc_id": pa.array([], type=pa.int64()),
+     "ptf": pa.array([], type=pa.int64()),
+     "dl": pa.array([], type=pa.int64())}
+)
+
+
+def _positions_counts(
+    index_dir: str,
+    phrases: list[tuple[str, list[str]]],
+    gap: int,
+    man: Manifest,
+) -> rd.Dataset:
+    """Phase 1+2 fused on the positions sidecar (pipelines/positions.py
+    — the Lucene .pos path, reference analogue on_pyserini.py
+    --storePositions): per group, ONE term-pruned read of the phrase
+    terms' positional postings resolves every query's occurrence count
+    without touching the corpus text.  Per (query, group): each phrase
+    slot's occurrences become sorted uint64 keys
+    ((doc - doc_lo) << 32) | kept_pos, and the same chain test
+    _make_phrase_counter runs on token streams runs here on keys —
+    gap=1 membership (key p matches iff p+j present for every slot j),
+    gap>1 the backward nearest-continuation DP.  Emits the candidate-
+    scale (qid, doc_id, ptf, dl) counts table; cost is the phrase
+    terms' postings + ~1 varint per occurrence."""
+    from .positions import POSITIONS_DIR, positions_for_terms
+
+    union_terms = sorted({t for _, toks in phrases for t in toks})
+    items = []
+    for g in man.done_groups():
+        e = man.groups[str(g)]
+        items.append({
+            "group_dir": os.path.join(index_dir, POSITIONS_DIR, f"group={g}"),
+            "doc_lo": int(e["doc_lo"]),
+        })
+
+    def scan(batch: pa.Table) -> pa.Table:
+        out_q: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        out_tf: list[np.ndarray] = []
+        out_dl: list[np.ndarray] = []
+        for gd, lo in zip(batch.column("group_dir").to_pylist(),
+                          batch.column("doc_lo").to_pylist()):
+            pmap = positions_for_terms(gd, union_terms)
+            key_cache: dict[str, np.ndarray] = {}
+
+            def keys_of(t: str) -> np.ndarray | None:
+                ks = key_cache.get(t)
+                if ks is None:
+                    v = pmap.get(t)
+                    if v is None:
+                        return None
+                    docs, _dls, counts, pos_abs = v
+                    # sorted: docs ascending, positions ascending in doc
+                    ks = key_cache[t] = (
+                        (np.repeat((docs - lo).astype(np.uint64), counts)
+                         << np.uint64(32))
+                        | pos_abs.astype(np.uint64)
+                    )
+                return ks
+
+            for qid, toks in phrases:
+                slot_keys = [keys_of(t) for t in toks]
+                if any(ksj is None or ksj.size == 0 for ksj in slot_keys):
+                    continue  # strict conjunction within this group
+                n = len(toks)
+                if gap == 1:
+                    p = slot_keys[0]
+                    valid = np.ones(p.size, dtype=bool)
+                    for j in range(1, n):
+                        tgt = p + np.uint64(j)
+                        ksj = slot_keys[j]
+                        posn = np.searchsorted(ksj, tgt)
+                        okj = posn < ksj.size
+                        okj[okj] = ksj[posn[okj]] == tgt[okj]
+                        valid &= okj
+                        if not valid.any():
+                            break
+                    starts = p[valid]
+                else:
+                    ok = slot_keys[n - 1]
+                    for j in range(n - 2, -1, -1):
+                        if ok.size == 0:
+                            break
+                        pj = slot_keys[j]
+                        nxt = np.searchsorted(ok, pj, side="right")
+                        has = nxt < ok.size
+                        q = ok[np.minimum(nxt, ok.size - 1)]
+                        ok = pj[
+                            has
+                            & (q <= pj + np.uint64(gap))
+                            & ((q >> np.uint64(32)) == (pj >> np.uint64(32)))
+                        ]
+                    starts = ok
+                if starts.size == 0:
+                    continue
+                doc_rel, ptf = np.unique(
+                    (starts >> np.uint64(32)).astype(np.int64),
+                    return_counts=True,
+                )
+                hit_docs = doc_rel + lo
+                docs0, dls0, _c0, _p0 = pmap[toks[0]]
+                dl = dls0[np.searchsorted(docs0, hit_docs)]
+                out_q.append(np.full(hit_docs.size, qid, dtype=object))
+                out_d.append(hit_docs)
+                out_tf.append(ptf.astype(np.int64))
+                out_dl.append(dl.astype(np.int64))
+        if not out_q:
+            return _EMPTY_COUNTS
+        return pa.table(
+            {"qid": pa.array(np.concatenate(out_q), type=pa.string()),
+             "doc_id": pa.array(np.concatenate(out_d), type=pa.int64()),
+             "ptf": pa.array(np.concatenate(out_tf)),
+             "dl": pa.array(np.concatenate(out_dl))}
+        )
+
+    return rd.from_items(items).map_batches(
+        scan, batch_format="pyarrow", batch_size=1
+    )
+
+
 def phrase_topk(
     index_dir: str,
     docs_path: str,
@@ -406,6 +534,7 @@ def phrase_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     gap: int = 1,
+    positions: str = "auto",
 ) -> pa.Table:
     """Top-k exact-phrase retrieval: (qid, doc_id, rank, score) with
     round-6 deterministic (score desc, doc_id asc) ranking — module doc
@@ -414,7 +543,17 @@ def phrase_topk(
     ``gap`` > 1 relaxes adjacency into ordered proximity (NEAR/n):
     each next phrase term within ``gap`` kept-stream positions of the
     previous; tf counts chain START positions (_make_phrase_counter).
-    gap=1 is the exact phrase."""
+    gap=1 is the exact phrase.
+
+    ``positions``: "auto" (default) resolves occurrences from the
+    positional sidecar (pipelines/positions.py) when the index has
+    one — no corpus text read at all — and falls back to the
+    two-phase re-tokenize otherwise; "force" requires the sidecar;
+    "off" always re-tokenizes.  Both paths produce identical counts
+    (the sidecar stores the same kept-stream positions the fallback
+    recomputes)."""
+    if positions not in ("auto", "force", "off"):
+        raise ValueError("positions must be 'auto', 'force' or 'off'")
     if gap < 1:
         raise ValueError("gap must be >= 1")
     params = params or BM25Params()
@@ -427,59 +566,86 @@ def phrase_topk(
     stopwords = resolve_stopwords(cfg.stopwords)
     stemmer = resolve_stemmer(cfg.stemmer)
 
-    toks_of: dict[str, list[str]] = {}
-    specs: list[tuple[str, list[str], str]] = []
-    for qid, text in queries:
-        toks = tokenize_text(text, stopwords=stopwords, stemmer=stemmer)
-        if not toks:
-            continue
-        toks_of[qid] = toks
-        specs.append((qid, toks, "and"))
-    # phase 1, ALL queries in ONE distributed scan (each group's vocab
-    # + segments read once; shared per-term decode across queries)
-    bms = _postings_bitmaps(index_dir, specs, man=man) if specs else {}
-    phrases: list[tuple[str, list[str]]] = []
-    union = np.zeros(bitmap_nbytes(num_docs), dtype=np.uint8)
-    for qid, toks in toks_of.items():
-        bm = bms.get(qid)
-        if bm is None or not bm.any():
-            continue
-        phrases.append((qid, toks))
-        union |= bm
-
     empty = pa.table(
         {"qid": pa.array([], type=pa.string()),
          "doc_id": pa.array([], type=pa.int64()),
          "rank": pa.array([], type=pa.int64()),
          "score": pa.array([], type=pa.float64())}
     )
-    if not phrases:
+
+    tokenized: list[tuple[str, list[str]]] = []
+    for qid, text in queries:
+        toks = tokenize_text(text, stopwords=stopwords, stemmer=stemmer)
+        if toks:
+            tokenized.append((qid, toks))
+    if not tokenized:
         return empty
 
-    # phase 2: stream candidates only (bitmap mask; read span pruned to
-    # the candidates' doc-id range via the byte envelope of set bits)
-    nz = np.flatnonzero(union)
-    span_lo, span_hi = int(nz[0]) << 3, (int(nz[-1]) + 1) << 3
-    # real row-group pruning: the doc-id span predicate is pushed into
-    # the parquet fragments (statistics skip whole row groups outside
-    # the candidates' range); the in-task span filter below stays as
-    # the exactness guard for writers without row-group stats
-    ds = rd.read_parquet(
-        docs_path, columns=[id_col, text_col],
-        filter=(pc.field(id_col) >= span_lo) & (pc.field(id_col) < span_hi),
-    )
-    counter = _make_phrase_counter(
-        ray.put(union), phrases, stopwords, stemmer, id_col, text_col, gap
-    )
+    from .positions import has_positions
 
-    def spanned(batch: pa.Table) -> pa.Table:
-        d = batch.column(id_col)
-        m = pc.and_(pc.greater_equal(d, span_lo), pc.less(d, span_hi))
-        return counter(batch.filter(m))
+    use_pos = positions == "force" or (
+        positions == "auto" and has_positions(index_dir, man)
+    )
+    if positions == "force" and not has_positions(index_dir, man):
+        raise ValueError(
+            f"positions='force' but no complete positions sidecar at "
+            f"{index_dir} (build_positions)"
+        )
 
-    counts = ds.map_batches(spanned, batch_format="pyarrow").materialize()
-    if counts.count() == 0:
-        return empty
+    if use_pos:
+        # positions path: phase 1+2 fused on the sidecar, no corpus
+        # text read (_positions_counts)
+        counts = _positions_counts(
+            index_dir, tokenized, gap, man
+        ).materialize()
+        if counts.count() == 0:
+            return empty
+    else:
+        toks_of: dict[str, list[str]] = dict(tokenized)
+        specs = [(qid, toks, "and") for qid, toks in tokenized]
+        # phase 1, ALL queries in ONE distributed scan (each group's
+        # vocab + segments read once; shared per-term decode across
+        # queries)
+        bms = _postings_bitmaps(index_dir, specs, man=man)
+        phrases: list[tuple[str, list[str]]] = []
+        union = np.zeros(bitmap_nbytes(num_docs), dtype=np.uint8)
+        for qid, toks in toks_of.items():
+            bm = bms.get(qid)
+            if bm is None or not bm.any():
+                continue
+            phrases.append((qid, toks))
+            union |= bm
+        if not phrases:
+            return empty
+
+        # phase 2: stream candidates only (bitmap mask; read span
+        # pruned to the candidates' doc-id range via the byte envelope
+        # of set bits)
+        nz = np.flatnonzero(union)
+        span_lo, span_hi = int(nz[0]) << 3, (int(nz[-1]) + 1) << 3
+        # real row-group pruning: the doc-id span predicate is pushed
+        # into the parquet fragments (statistics skip whole row groups
+        # outside the candidates' range); the in-task span filter below
+        # stays as the exactness guard for writers without row-group
+        # stats
+        ds = rd.read_parquet(
+            docs_path, columns=[id_col, text_col],
+            filter=(pc.field(id_col) >= span_lo)
+            & (pc.field(id_col) < span_hi),
+        )
+        counter = _make_phrase_counter(
+            ray.put(union), phrases, stopwords, stemmer, id_col, text_col,
+            gap,
+        )
+
+        def spanned(batch: pa.Table) -> pa.Table:
+            d = batch.column(id_col)
+            m = pc.and_(pc.greater_equal(d, span_lo), pc.less(d, span_hi))
+            return counter(batch.filter(m))
+
+        counts = ds.map_batches(spanned, batch_format="pyarrow").materialize()
+        if counts.count() == 0:
+            return empty
 
     # per-phrase df: per-block partial value counts (≤ #phrases rows per
     # block leave each task — the driver never pulls the qid column)

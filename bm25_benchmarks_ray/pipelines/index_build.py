@@ -504,6 +504,15 @@ def build_index(
     t_fin = time.perf_counter()
     _finalize_index(man, index_dir)
     _timing("finalize", t_fin)
+    # norms file (state/norms.py): per-group per-doc dl, derived from
+    # the segments in one distributed pass — queries then read postings
+    # without the dls stream.  Fingerprint-checked, so a resumed build
+    # only (re)derives missing/stale groups.
+    t_n = time.perf_counter()
+    from ..state.norms import build_norms
+
+    build_norms(index_dir, man)
+    _timing("norms", t_n)
     return man
 
 
@@ -690,6 +699,9 @@ def append_index(
     man.stages.pop("finalize", None)
     man.save()
     _finalize_index(man, index_dir)
+    from ..state.norms import build_norms
+
+    build_norms(index_dir, man)  # new groups only (fingerprinted)
     return man
 
 
@@ -856,4 +868,7 @@ def compact_index(
     )
     man.n_groups = len(man.groups)
     man.save()
+    from ..state.norms import build_norms
+
+    build_norms(index_dir, man)  # rewritten groups fail the fingerprint
     return man

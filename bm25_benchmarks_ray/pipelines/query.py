@@ -279,12 +279,16 @@ class _DecodeCache:
     how many queries in the batch share the term.  Passed into the
     pruned scorer as its ``full_decode`` hook."""
 
-    def __init__(self, block_size, lo, hi, params, avgdl, s0):
+    def __init__(self, block_size, lo, hi, params, avgdl, s0,
+                 norms=None):
         from ..stages.segments import decode_segment
 
         self._decode = decode_segment
         self.block_size, self.lo, self.hi = block_size, lo, hi
         self.params, self.avgdl, self.s0 = params, avgdl, s0
+        # norms-file mode (state/norms.py): (uint32 mmap, group doc_lo)
+        # — decoded rows arrive with dl=None and dl_at() resolves it
+        self.norms = norms
         self.data: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         # dense-path caches: doc - lo as int32 (valid: dense slices are
         # capped at DENSE_RANGE_CAP << 2^31 docs wide) and w·base per
@@ -321,7 +325,12 @@ class _DecodeCache:
         def flush(chunk: list[dict]) -> None:
             triples = bulk_decode_rows(chunk, self.block_size, self.lo, self.hi)
             tf_all = np.concatenate([t for _, t, _ in triples])
-            dl_all = np.concatenate([d for _, _, d in triples])
+            if any(d is None for _, _, d in triples):
+                dl_all = self.dl_at(
+                    np.concatenate([doc for doc, _, _ in triples])
+                )
+            else:
+                dl_all = np.concatenate([d for _, _, d in triples])
             base_all = (
                 tf_shape(self.params, tf_all, dl_all, self.avgdl) - self.s0
                 if tf_all.size
@@ -356,6 +365,12 @@ class _DecodeCache:
             v = self._gmax[key] = float(ubs.max()) if ubs.size else 0.0
         return v
 
+    def dl_at(self, doc: np.ndarray) -> np.ndarray:
+        """Per-posting dl from the group norms file — the dls stream
+        was pruned from the read."""
+        arr, base = self.norms
+        return arr[doc - base]
+
     @staticmethod
     def _key(row: dict) -> tuple[str, int]:
         # a term split across sort partitions yields multiple parts
@@ -370,6 +385,8 @@ class _DecodeCache:
         hit = self.data.get(key)
         if hit is None:
             doc, tf, dl = self._decode(row, self.block_size, self.lo, self.hi)
+            if dl is None and doc.size:
+                dl = self.dl_at(doc)
             base = (
                 tf_shape(self.params, tf, dl, self.avgdl) - self.s0
                 if doc.size
@@ -688,6 +705,33 @@ def query_plan_terms(plan: dict, q_lo: int, q_hi: int) -> list[str]:
     return sorted(out)
 
 
+# worker-process cache of group norms mmaps (file open + header parse
+# per task otherwise; the mmap itself is page-cache shared node-wide)
+_NORMS_CACHE: dict[tuple[str, int], tuple[np.ndarray, int]] = {}
+
+
+def _group_norms(norms_index: str, group_dir: str) -> tuple[np.ndarray, int]:
+    g = int(group_dir.rsplit("group=", 1)[1])
+    key = (norms_index, g)
+    v = _NORMS_CACHE.get(key)
+    if v is None:
+        from ..state.norms import load_group_norms
+
+        if len(_NORMS_CACHE) > 64:
+            _NORMS_CACHE.clear()
+        v = _NORMS_CACHE[key] = load_group_norms(norms_index, g)
+    return v
+
+
+# segment columns the query path reads when the dl stream comes from
+# the norms file instead (state/norms.py): dls/blk_off_dl never leave
+# storage
+_SEG_COLS_NO_DL = [
+    "term", "tid", "df", "doc_ids", "tfs", "bmax_tf", "bmin_dl",
+    "blk_doc0", "blk_off_doc", "blk_off_tf",
+]
+
+
 def make_score_slice(
     plan_ref,
     params: BM25Params,
@@ -696,6 +740,7 @@ def make_score_slice(
     block_size: int,
     prune: bool = False,
     dense_pad: bool = False,
+    norms_index: str | None = None,
 ):
     """Task fn scoring all queries against one (group, doc-range) slice.
 
@@ -746,14 +791,19 @@ def make_score_slice(
                 from ..stages.segments import segment_rows_by_term
 
                 seg = pads.dataset(group_dir).to_table(
-                    filter=pc.field("term").isin(terms_here)
+                    filter=pc.field("term").isin(terms_here),
+                    columns=_SEG_COLS_NO_DL if norms_index else None,
                 )
                 rows_by_term = segment_rows_by_term(seg)
             if not rows_by_term and not dense_pad:
                 continue
+            norms = (
+                _group_norms(norms_index, group_dir) if norms_index else None
+            )
             # decoded (doc, tf_shape - s0) per term, shared across every
             # query in this task — hot terms decode once, not per query
-            decoded = _DecodeCache(block_size, lo, hi, params, avgdl, s0)
+            decoded = _DecodeCache(block_size, lo, hi, params, avgdl, s0,
+                                   norms=norms)
             qis, docs, scores = score_range(
                 plan, rows_by_term, params, avgdl, k, block_size,
                 lo, hi, q_lo, q_hi, prune, dense_pad, decoded,
@@ -1138,10 +1188,24 @@ def search(
             for qb in range(n_qbatch)
             for s in range(n_slices)
         ]
+    # norms-file mode (state/norms.py): when every group has a fresh
+    # norms sidecar, scoring tasks read segment rows WITHOUT the dls
+    # stream and resolve dl via the group's mmap — ~28% fewer posting
+    # bytes off storage and through decode.  GRAFT_NORMS=0 is the A/B
+    # kill-switch.
+    from ..state.norms import has_norms
+
+    norms_index = (
+        index_dir
+        if os.environ.get("GRAFT_NORMS", "1") == "1"
+        and has_norms(index_dir, man)
+        else None
+    )
     partials = rd.from_items(scatter).map_batches(
         make_score_slice(
             plan_ref, params, avgdl, k, cfg.block_size,
             prune=(mode == "pruned"), dense_pad=dense_pad,
+            norms_index=norms_index,
         ),
         batch_format="pyarrow",
         batch_size=1,

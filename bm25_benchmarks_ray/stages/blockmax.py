@@ -73,7 +73,7 @@ def decode_candidate_blocks(
     idx = np.searchsorted(cand, doc)
     idx = np.minimum(idx, cand.size - 1)
     keep = cand[idx] == doc
-    return doc[keep], tf[keep], dl[keep]
+    return doc[keep], tf[keep], dl[keep] if dl is not None else None
 
 
 def score_query_pruned(
@@ -166,7 +166,11 @@ def score_query_pruned(
                 idx = np.searchsorted(cand_doc, doc)
                 idx = np.minimum(idx, cand_doc.size - 1)
                 keep = cand_doc[idx] == doc
-                doc, tf, dl = doc[keep], tf[keep], dl[keep]
+                doc, tf = doc[keep], tf[keep]
+                if dl is None:  # norms-file mode: dls stream not read
+                    dl = full_decode.dl_at(doc) if doc.size else doc
+                else:
+                    dl = dl[keep]
                 base = tf_shape(params, tf, dl, avgdl) - s0 if doc.size else None
         elif full_decode is not None:
             doc, base = full_decode(row)
@@ -179,6 +183,11 @@ def score_query_pruned(
                 doc, base = cand_doc[hit], base[idx[hit]]
         else:
             doc, tf, dl = decode_segment(row, block_size, lo, hi)
+            if dl is None and doc.size:
+                raise ValueError(
+                    "segment row read without dls needs a norms-aware "
+                    "full_decode cache"
+                )
             base = tf_shape(params, tf, dl, avgdl) - s0 if doc.size else None
         if doc.size:
             cand_doc, cand_score = _accumulate(cand_doc, cand_score, doc, w * base)

@@ -190,7 +190,11 @@ def decode_segment(
     """(doc_ids, tfs, dls) for a segment row, optionally restricted to
     doc range [lo, hi): only the covering blocks are decoded (skip-table
     byte offsets), so a doc-sliced query task pays for its share of the
-    posting list, not the whole list."""
+    posting list, not the whole list.
+
+    A row read with the ``tfs`` or ``dls`` column pruned away (the
+    norms-file query path, state/norms.py) returns ``None`` for that
+    stream — the caller supplies dl via the norms lookup instead."""
     doc0 = np.frombuffer(row["blk_doc0"], dtype=np.int64)
     nb = doc0.size
     if nb == 0:
@@ -214,11 +218,19 @@ def decode_segment(
     # tiny): an astype here was a pure extra copy on the query hot
     # path, while keeping int64 preserves numpy's fast int64→float64
     # SIMD conversion inside tf_shape (uint64→float64 is the slow loop)
-    tf = varint_decode(_slice(row["tfs"], "blk_off_tf")).view(np.int64)
-    dl = varint_decode(_slice(row["dls"], "blk_off_dl")).view(np.int64)
+    tf = (
+        varint_decode(_slice(row["tfs"], "blk_off_tf")).view(np.int64)
+        if "tfs" in row else None
+    )
+    dl = (
+        varint_decode(_slice(row["dls"], "blk_off_dl")).view(np.int64)
+        if "dls" in row else None
+    )
     if lo is not None:
         a, b = np.searchsorted(doc, [lo, hi])
-        doc, tf, dl = doc[a:b], tf[a:b], dl[a:b]
+        doc = doc[a:b]
+        tf = tf[a:b] if tf is not None else None
+        dl = dl[a:b] if dl is not None else None
     return doc, tf, dl
 
 
@@ -260,12 +272,15 @@ def decode_selected_blocks(
         idx = np.repeat(first, lens) + np.arange(total, dtype=np.int64)
         return b[idx]
 
+    with_dl = "dls" in row  # pruned away on the norms-file query path
     gb = [
         gather(row["doc_ids"], "blk_off_doc"),
         gather(row["tfs"], "blk_off_tf"),
-        gather(row["dls"], "blk_off_dl"),
     ]
-    if gb[0].size + gb[1].size + gb[2].size >= 8192:
+    if with_dl:
+        gb.append(gather(row["dls"], "blk_off_dl"))
+    ns = len(gb)
+    if sum(g.size for g in gb) >= 8192:
         # large selection: decode per stream so a uniformly-1-byte
         # stream (doc gaps, tf≈1) keeps varint_decode's all-one-byte
         # fast path — concatenated with a multi-byte dl stream, every
@@ -273,18 +288,18 @@ def decode_selected_blocks(
         # from 16KB up; crossover ~8KB)
         doc = _blockwise_docs(varint_decode(gb[0]), block_size)
         tf = varint_decode(gb[1]).view(np.int64)
-        dl = varint_decode(gb[2]).view(np.int64)
+        dl = varint_decode(gb[2]).view(np.int64) if with_dl else None
         return doc, tf, dl
-    # small selection: ONE varint decode for all three streams — they
-    # carry the same value count (one per selected posting), so the
-    # concatenated decode splits into exact thirds; candidate decodes
-    # this size are per-call-overhead-bound, and this removes 2 of 3
-    # calls
+    # small selection: ONE varint decode for all streams — they carry
+    # the same value count (one per selected posting), so the
+    # concatenated decode splits into exact halves/thirds; candidate
+    # decodes this size are per-call-overhead-bound, and this removes
+    # all but one call
     vals = varint_decode(np.concatenate(gb))
-    p = vals.size // 3
+    p = vals.size // ns
     doc = _blockwise_docs(vals[:p], block_size)
     tf = vals[p : 2 * p].view(np.int64)
-    dl = vals[2 * p :].view(np.int64)
+    dl = vals[2 * p :].view(np.int64) if with_dl else None
     return doc, tf, dl
 
 
@@ -327,6 +342,8 @@ def bulk_decode_rows(
             (t_parts, "tfs", "blk_off_tf"),
             (l_parts, "dls", "blk_off_dl"),
         ):
+            if buf_key not in row:  # pruned stream (norms query path)
+                continue
             off = np.frombuffer(row[off_key], dtype=np.uint32)
             buf = np.frombuffer(row[buf_key], dtype=np.uint8)
             end = int(off[b1]) if b1 < nb else buf.size
@@ -362,21 +379,25 @@ def bulk_decode_rows(
     )
     doc_all = cs - base
 
-    tf_all = varint_decode(
-        np.concatenate(t_parts) if m > 1 else t_parts[0]
-    ).view(np.int64)
-    dl_all = varint_decode(
-        np.concatenate(l_parts) if m > 1 else l_parts[0]
-    ).view(np.int64)
+    tf_all = (
+        varint_decode(np.concatenate(t_parts) if m > 1 else t_parts[0])
+        .view(np.int64) if t_parts else None
+    )
+    dl_all = (
+        varint_decode(np.concatenate(l_parts) if m > 1 else l_parts[0])
+        .view(np.int64) if l_parts else None
+    )
 
     for j, i in enumerate(live):
         a, b = int(row_val_start[j]), int(row_val_end[j])
         doc = doc_all[a:b]
-        tf = tf_all[a:b]
-        dl = dl_all[a:b]
+        tf = tf_all[a:b] if tf_all is not None else None
+        dl = dl_all[a:b] if dl_all is not None else None
         if lo is not None:
             s, e = np.searchsorted(doc, [lo, hi])
-            doc, tf, dl = doc[s:e], tf[s:e], dl[s:e]
+            doc = doc[s:e]
+            tf = tf[s:e] if tf is not None else None
+            dl = dl[s:e] if dl is not None else None
         out[i] = (doc, tf, dl)
     return out
 

@@ -486,15 +486,22 @@ def run_scaling(sf_dir: str, cpus_lo: int = 4, cpus_hi: int = 16,
         # spills onto cores outside its budget or thrashes the pinned
         # set).  The driver's Arrow pool is re-widened to the leg's
         # budget via pa.set_cpu_count in run_bench.
-        # 8000 queries (vs the single-run default 200): per-search-call
-        # fixed cost (~1s: Ray Data job startup + plan broadcast +
-        # driver merge) is the same absolute seconds at both legs, so
-        # at 2000 queries it bills the faster leg ~15% of its wall but
-        # the slower leg ~5% — deflating measured efficiency for a cost
-        # that amortizes away on any real batch workload.  8000 queries
-        # keeps the fixed share <4% on both legs.
+        # 24000 queries (vs the single-run default 200): per-search-call
+        # fixed cost is the same absolute seconds at both legs, so it
+        # deflates the measured ratio by exactly its share of the FAST
+        # leg's wall.  Measured r5 (pinned 8 CPUs, n=1 vs n=8000 legs):
+        # fixed ≈ 1.3 s — Ray Data streaming-job startup + task
+        # scheduling + plan broadcast — which at 8000 queries billed
+        # the 16-CPU leg ~13% of its ~7.5 s wall but the 4-CPU leg
+        # only ~4%, i.e. the ratio measured the framework's job-launch
+        # constant, not the engine's scaling.  24000 queries cuts the
+        # fixed share to <6% of the fast leg (steady-state throughput
+        # is what the N->4N criterion is about; a real batch workload
+        # amortizes job launch over minutes).  r5 samples 1-3 and the
+        # 2->8 control were taken at 8000 and are disclosed as such in
+        # BASELINE.md.
         env = dict(os.environ, GRAFT_SF_DIR=sf_dir, RAY_GRAFT_CPUS=str(cpus),
-                   GRAFT_BENCH_SF=str(scaling_sf), GRAFT_BENCH_NQ="8000",
+                   GRAFT_BENCH_SF=str(scaling_sf), GRAFT_BENCH_NQ="24000",
                    GRAFT_BENCH_QUICK="1", OMP_NUM_THREADS="1")
         # taskset pins the leg (driver + every forked Ray child inherits
         # the affinity mask) to exactly `cpus` physical cores.  Without
